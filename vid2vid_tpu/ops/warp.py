@@ -1,0 +1,103 @@
+"""Bilinear flow warping (the vid2vid `resample` op).
+
+Reference semantics (reference: models/networks.py:79-115, models/base_model.py:183-196):
+the reference builds a normalized [-1,1] meshgrid with `torch.linspace`
+(align_corners=True convention), adds `flow / ((size-1)/2)`, and calls
+`F.grid_sample(mode='bilinear', padding_mode='border')` under PyTorch-0.4
+semantics (align_corners=True).
+
+Because the base grid at integer pixel i maps back to exactly i under the
+align_corners=True un-normalization, the whole construction collapses to:
+
+    sample image at (x + u, y + v) in *pixel* coordinates, bilinear,
+    with coordinates clamped to the image border.
+
+We implement exactly that — no normalized grid is ever materialized, which
+also removes the reference's (w-1)/2 division from the hot path.
+
+Layout: NHWC. `flow[..., 0]` is the x (width) displacement, `flow[..., 1]`
+the y (height) displacement, both in pixels — matching the reference's
+channel order (flow[:,0:1] / width, flow[:,1:2] / height).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _gather_2d(img: jax.Array, iy: jax.Array, ix: jax.Array) -> jax.Array:
+    """Gather img[b, iy[b,h,w], ix[b,h,w], :] -> (B, H, W, C)."""
+    b = img.shape[0]
+    bidx = jnp.arange(b, dtype=iy.dtype).reshape(b, 1, 1)
+    bidx = jnp.broadcast_to(bidx, iy.shape)
+    return img[bidx, iy, ix]
+
+
+def flow_warp_ref(image: jax.Array, flow: jax.Array) -> jax.Array:
+    """XLA reference implementation of the bilinear border warp.
+
+    Args:
+      image: (B, H, W, C) float array.
+      flow:  (B, H, W, 2) float array, pixel displacements (dx, dy).
+
+    Returns:
+      (B, H, W, C) warped image; for every output pixel (y, x) the input is
+      sampled at (y + dy, x + dx) bilinearly, coordinates clamped to border.
+    """
+    if image.shape[:3] != flow.shape[:3] or flow.shape[-1] != 2:
+        raise ValueError(
+            f"flow_warp: image {image.shape} and flow {flow.shape} must share "
+            "(B, H, W) and flow must have 2 channels"
+        )
+    _, h, w, _ = image.shape
+    dtype = image.dtype
+    flow = flow.astype(jnp.float32)
+
+    ys = jax.lax.broadcasted_iota(jnp.float32, flow.shape[:3], 1)
+    xs = jax.lax.broadcasted_iota(jnp.float32, flow.shape[:3], 2)
+    x = xs + flow[..., 0]
+    y = ys + flow[..., 1]
+
+    # Border padding: out-of-range coordinates clamp to the edge pixel. For
+    # bilinear this is equivalent to PyTorch's coordinate clipping because
+    # both neighbors of an outside coordinate clamp to the same border texel.
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = (x - x0)[..., None].astype(dtype)
+    wy = (y - y0)[..., None].astype(dtype)
+
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+    x1i = jnp.clip(x0.astype(jnp.int32) + 1, 0, w - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    y1i = jnp.clip(y0.astype(jnp.int32) + 1, 0, h - 1)
+
+    v00 = _gather_2d(image, y0i, x0i)
+    v01 = _gather_2d(image, y0i, x1i)
+    v10 = _gather_2d(image, y1i, x0i)
+    v11 = _gather_2d(image, y1i, x1i)
+
+    top = v00 * (1.0 - wx) + v01 * wx
+    bot = v10 * (1.0 - wx) + v11 * wx
+    return top * (1.0 - wy) + bot * wy
+
+
+@functools.partial(jax.jit, static_argnames=())
+def flow_warp(image: jax.Array, flow: jax.Array) -> jax.Array:
+    """Bilinear border warp; dispatches to the best implementation.
+
+    Currently the XLA gather formulation (which XLA fuses well on TPU); a
+    Pallas kernel can be slotted in here transparently for further fusion
+    with the composite blend.
+    """
+    return flow_warp_ref(image, flow)
+
+
+def flow_warp_nchw(image: jax.Array, flow: jax.Array) -> jax.Array:
+    """Convenience wrapper for NCHW callers (parity harness only)."""
+    out = flow_warp(
+        jnp.transpose(image, (0, 2, 3, 1)), jnp.transpose(flow, (0, 2, 3, 1))
+    )
+    return jnp.transpose(out, (0, 3, 1, 2))
