@@ -1,19 +1,32 @@
 """Test configuration: force CPU with 8 virtual devices for mesh tests.
 
-Must run before jax is imported anywhere (pytest imports conftest first).
+The container's sitecustomize imports jax at interpreter startup and
+registers the axon TPU backend, so env vars alone are too late — we must
+override through jax.config before any backend is instantiated. Parity
+tests need CPU f32 conv numerics; mesh tests need 8 virtual devices.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
+
+
+def pytest_configure(config):
+    assert jax.devices()[0].platform == "cpu", (
+        "tests must run on CPU, got " + jax.devices()[0].platform
+    )
 
 
 @pytest.fixture

@@ -1,0 +1,343 @@
+"""Network zoo tests: layer parity vs torch, module shapes, blend math."""
+
+import flax.linen
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from vid2vid_tpu.nn import (
+    CompositeGenerator,
+    CompositeLocalGenerator,
+    Conv,
+    ConvTranspose,
+    Encoder,
+    GlobalGenerator,
+    GlobalWithFeatures,
+    LocalEnhancer,
+    MultiscaleDiscriminator,
+    NLayerDiscriminator,
+    Norm,
+    Vgg19Features,
+    instance_average,
+)
+
+
+def to_nhwc(x):
+    return np.transpose(x, (0, 2, 3, 1))
+
+
+def to_nchw(x):
+    return np.transpose(x, (0, 3, 1, 2))
+
+
+class TestLayers:
+    def test_conv_matches_torch(self, rng):
+        x = rng.standard_normal((2, 4, 10, 12)).astype(np.float32)
+        w = rng.standard_normal((6, 4, 3, 3)).astype(np.float32)
+        b = rng.standard_normal(6).astype(np.float32)
+        expected = F.conv2d(
+            torch.from_numpy(x), torch.from_numpy(w), torch.from_numpy(b),
+            stride=2, padding=1,
+        ).numpy()
+
+        m = Conv(6, kernel=3, stride=2, pad=1)
+        params = {
+            "params": {
+                "Conv_0": {
+                    "kernel": jnp.asarray(np.transpose(w, (2, 3, 1, 0))),
+                    "bias": jnp.asarray(b),
+                }
+            }
+        }
+        got = m.apply(params, jnp.asarray(to_nhwc(x)))
+        np.testing.assert_allclose(to_nchw(np.asarray(got)), expected, atol=1e-4)
+
+    def test_conv_reflect_matches_torch(self, rng):
+        x = rng.standard_normal((1, 3, 9, 11)).astype(np.float32)
+        w = rng.standard_normal((5, 3, 7, 7)).astype(np.float32)
+        b = np.zeros(5, np.float32)
+        xp = F.pad(torch.from_numpy(x), (3, 3, 3, 3), mode="reflect")
+        expected = F.conv2d(xp, torch.from_numpy(w), torch.from_numpy(b)).numpy()
+
+        m = Conv(5, kernel=7, pad=3, pad_mode="reflect")
+        params = {
+            "params": {
+                "Conv_0": {
+                    "kernel": jnp.asarray(np.transpose(w, (2, 3, 1, 0))),
+                    "bias": jnp.asarray(b),
+                }
+            }
+        }
+        got = m.apply(params, jnp.asarray(to_nhwc(x)))
+        np.testing.assert_allclose(to_nchw(np.asarray(got)), expected, atol=1e-4)
+
+    def test_conv_transpose_matches_torch(self, rng):
+        """ConvTranspose2d(3, stride=2, padding=1, output_padding=1) parity."""
+        x = rng.standard_normal((2, 4, 7, 9)).astype(np.float32)
+        w = rng.standard_normal((4, 6, 3, 3)).astype(np.float32)  # (in, out, kh, kw)
+        b = rng.standard_normal(6).astype(np.float32)
+        expected = F.conv_transpose2d(
+            torch.from_numpy(x), torch.from_numpy(w), torch.from_numpy(b),
+            stride=2, padding=1, output_padding=1,
+        ).numpy()
+        assert expected.shape[-2:] == (14, 18)
+
+        m = ConvTranspose(6)
+        # torch convtranspose weight (I, O, H, W) -> ours (H, W, I, O)
+        params = {
+            "params": {
+                "kernel": jnp.asarray(np.transpose(w, (2, 3, 0, 1))),
+                "bias": jnp.asarray(b),
+            }
+        }
+        got = m.apply(params, jnp.asarray(to_nhwc(x)))
+        np.testing.assert_allclose(to_nchw(np.asarray(got)), expected, atol=1e-4)
+
+    def test_batchnorm_train_eval_matches_torch(self, rng):
+        x = rng.standard_normal((4, 3, 6, 6)).astype(np.float32)
+        tbn = torch.nn.BatchNorm2d(3, eps=1e-5, momentum=0.1)
+        tbn.weight.data = torch.from_numpy(
+            rng.standard_normal(3).astype(np.float32)
+        )
+        tbn.bias.data = torch.from_numpy(rng.standard_normal(3).astype(np.float32))
+        tbn.train()
+        expected_train = tbn(torch.from_numpy(x)).detach().numpy()
+        tbn.eval()
+        expected_eval = tbn(torch.from_numpy(x)).detach().numpy()
+
+        m = Norm("batch")
+        variables = {
+            "params": {
+                "BatchNorm_0": {
+                    "scale": jnp.asarray(tbn.weight.detach().numpy()),
+                    "bias": jnp.asarray(tbn.bias.detach().numpy()),
+                }
+            },
+            "batch_stats": {
+                "BatchNorm_0": {
+                    "mean": jnp.zeros(3),
+                    "var": jnp.ones(3),
+                }
+            },
+        }
+        got_train, new_vars = m.apply(
+            variables, jnp.asarray(to_nhwc(x)), train=True, mutable=["batch_stats"]
+        )
+        np.testing.assert_allclose(
+            to_nchw(np.asarray(got_train)), expected_train, atol=1e-4
+        )
+        # running stats after one train step
+        np.testing.assert_allclose(
+            np.asarray(new_vars["batch_stats"]["BatchNorm_0"]["mean"]),
+            tbn.running_mean.numpy(),
+            atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(new_vars["batch_stats"]["BatchNorm_0"]["var"]),
+            tbn.running_var.numpy(),
+            atol=1e-4,
+        )
+        got_eval = m.apply(
+            {"params": variables["params"], "batch_stats": new_vars["batch_stats"]},
+            jnp.asarray(to_nhwc(x)),
+            train=False,
+        )
+        np.testing.assert_allclose(
+            to_nchw(np.asarray(got_eval)), expected_eval, atol=1e-4
+        )
+
+    def test_instancenorm_matches_torch(self, rng):
+        x = rng.standard_normal((2, 3, 5, 7)).astype(np.float32)
+        tin = torch.nn.InstanceNorm2d(3, affine=False, track_running_stats=True)
+        tin.train()
+        expected_train = tin(torch.from_numpy(x)).detach().numpy()
+        tin.eval()
+        expected_eval = tin(torch.from_numpy(x)).detach().numpy()
+
+        m = Norm("instance")
+        variables = {
+            "batch_stats": {
+                "InstanceNorm_0": {"mean": jnp.zeros(3), "var": jnp.ones(3)}
+            }
+        }
+        got_train, new_vars = m.apply(
+            variables, jnp.asarray(to_nhwc(x)), train=True, mutable=["batch_stats"]
+        )
+        np.testing.assert_allclose(
+            to_nchw(np.asarray(got_train)), expected_train, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(new_vars["batch_stats"]["InstanceNorm_0"]["mean"]),
+            tin.running_mean.numpy(),
+            atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(new_vars["batch_stats"]["InstanceNorm_0"]["var"]),
+            tin.running_var.numpy(),
+            atol=1e-4,
+        )
+        got_eval = m.apply(
+            {"batch_stats": new_vars["batch_stats"]},
+            jnp.asarray(to_nhwc(x)),
+            train=False,
+        )
+        np.testing.assert_allclose(
+            to_nchw(np.asarray(got_eval)), expected_eval, atol=1e-4
+        )
+
+
+class TestComposite:
+    def _make(self, **kw):
+        defaults = dict(ngf=8, n_downsampling=2, n_blocks=4, norm="batch")
+        defaults.update(kw)
+        return CompositeGenerator(**defaults)
+
+    def test_forward_shapes(self, rng):
+        m = self._make()
+        labels = jnp.asarray(
+            rng.standard_normal((1, 32, 32, 9)).astype(np.float32)
+        )  # tG=3, 3ch labels
+        prev = jnp.asarray(rng.standard_normal((1, 32, 32, 6)).astype(np.float32))
+        variables = m.init(jax.random.key(0), labels, prev)
+        out = m.apply(variables, labels, prev)
+        assert out.img_final.shape == (1, 32, 32, 3)
+        assert out.flow.shape == (1, 32, 32, 2)
+        assert out.weight.shape == (1, 32, 32, 1)
+        assert out.img_raw.shape == (1, 32, 32, 3)
+        assert out.img_feat.shape == (1, 32, 32, 8)
+        assert out.flow_feat.shape == (1, 32, 32, 8)
+
+    def test_blend_math(self, rng):
+        """img_final == raw*w + warp(prev[-3:], flow)*(1-w)."""
+        from vid2vid_tpu.ops.warp import flow_warp
+
+        m = self._make()
+        labels = jnp.asarray(rng.standard_normal((1, 16, 16, 9)).astype(np.float32))
+        prev = jnp.asarray(rng.standard_normal((1, 16, 16, 6)).astype(np.float32))
+        variables = m.init(jax.random.key(1), labels, prev)
+        out = m.apply(variables, labels, prev)
+        warped = flow_warp(prev[..., -3:], out.flow)
+        expected = out.img_raw * out.weight + warped * (1 - out.weight)
+        np.testing.assert_allclose(
+            np.asarray(out.img_final), np.asarray(expected), atol=1e-5
+        )
+
+    def test_use_raw_only(self, rng):
+        m = self._make()
+        labels = jnp.asarray(rng.standard_normal((1, 16, 16, 9)).astype(np.float32))
+        prev = jnp.zeros((1, 16, 16, 6))
+        variables = m.init(jax.random.key(2), labels, prev)
+        out = m.apply(variables, labels, prev, use_raw_only=True)
+        np.testing.assert_array_equal(
+            np.asarray(out.img_final), np.asarray(out.img_raw)
+        )
+
+    def test_fg_composite(self, rng):
+        m = self._make(use_fg=True, n_downsampling=3)
+        labels = jnp.asarray(rng.standard_normal((1, 32, 32, 9)).astype(np.float32))
+        prev = jnp.asarray(rng.standard_normal((1, 32, 32, 6)).astype(np.float32))
+        mask = jnp.ones((1, 32, 32, 1))
+        variables = m.init(jax.random.key(3), labels, prev, mask)
+        out = m.apply(variables, labels, prev, mask)
+        assert out.fg_feat is not None
+        # with mask==1 everywhere, final == fg image -> bounded by tanh
+        assert np.abs(np.asarray(out.img_final)).max() <= 1.0
+
+    def test_local_enhancer_consumes_coarse(self, rng):
+        coarse_m = self._make(ngf=16, n_downsampling=1, n_blocks=2)
+        labels_c = jnp.asarray(rng.standard_normal((1, 16, 16, 9)).astype(np.float32))
+        prev_c = jnp.asarray(rng.standard_normal((1, 16, 16, 6)).astype(np.float32))
+        cvars = coarse_m.init(jax.random.key(4), labels_c, prev_c)
+        coarse_out = coarse_m.apply(cvars, labels_c, prev_c)
+
+        local = CompositeLocalGenerator(ngf=8, n_blocks_local=2, scale=1, norm="batch")
+        labels_f = jnp.asarray(rng.standard_normal((1, 32, 32, 9)).astype(np.float32))
+        prev_f = jnp.asarray(rng.standard_normal((1, 32, 32, 6)).astype(np.float32))
+        lvars = local.init(jax.random.key(5), labels_f, prev_f, coarse_out)
+        out = local.apply(lvars, labels_f, prev_f, coarse_out)
+        assert out.img_final.shape == (1, 32, 32, 3)
+        assert out.img_feat.shape == (1, 32, 32, 8)
+
+
+class TestPix2PixHD:
+    def test_global_shapes(self, rng):
+        m = GlobalGenerator(ngf=8, n_downsampling=2, n_blocks=2)
+        x = jnp.asarray(rng.standard_normal((1, 32, 32, 35)).astype(np.float32))
+        v = m.init(jax.random.key(0), x)
+        assert m.apply(v, x).shape == (1, 32, 32, 3)
+
+    def test_local_enhancer_shapes(self, rng):
+        m = LocalEnhancer(ngf=4, n_downsample_global=2, n_blocks_global=2)
+        x = jnp.asarray(rng.standard_normal((1, 64, 64, 35)).astype(np.float32))
+        v = m.init(jax.random.key(0), x)
+        assert m.apply(v, x).shape == (1, 64, 64, 3)
+
+    def test_global_with_features_shapes(self, rng):
+        m = GlobalWithFeatures(feat_num=4, ngf=8, n_downsampling=2, n_blocks=2)
+        x = jnp.asarray(rng.standard_normal((1, 32, 32, 15)).astype(np.float32))
+        z = jnp.asarray(rng.standard_normal((1, 32, 32, 4)).astype(np.float32))
+        v = m.init(jax.random.key(0), x, z)
+        assert m.apply(v, x, z).shape == (1, 32, 32, 3)
+
+    def test_encoder_instance_average(self, rng):
+        m = Encoder(output_nc=4, ngf=4, n_downsampling=2)
+        x = jnp.asarray(rng.standard_normal((1, 16, 16, 3)).astype(np.float32))
+        inst = jnp.zeros((1, 16, 16), jnp.int32).at[:, :8].set(5)
+        v = m.init(jax.random.key(0), x, inst)
+        out = m.apply(v, x, inst)
+        assert out.shape == (1, 16, 16, 4)
+        # features constant within each instance region
+        region = np.asarray(out)[0, :8]
+        assert np.allclose(region, region[0, 0], atol=1e-5)
+
+    def test_instance_average_means(self):
+        feat = jnp.arange(16, dtype=jnp.float32).reshape(1, 4, 4, 1)
+        inst = jnp.zeros((1, 4, 4), jnp.int32).at[:, 2:].set(7)
+        out = instance_average(feat, inst)
+        np.testing.assert_allclose(np.asarray(out)[0, 0, 0, 0], 3.5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out)[0, 3, 3, 0], 11.5, atol=1e-6)
+
+
+class TestDiscriminator:
+    def test_nlayer_output_size_matches_torch_formula(self, rng):
+        m = NLayerDiscriminator(ndf=8, n_layers=3)
+        x = jnp.asarray(rng.standard_normal((1, 64, 64, 6)).astype(np.float32))
+        v = m.init(jax.random.key(0), x)
+        (out,) = m.apply(v, x)
+        # torch: three stride-2 4x4/p2 convs 64->33->17->9, two stride-1 -> 10, 11
+        assert out.shape == (1, 11, 11, 1)
+
+    def test_interm_feats(self, rng):
+        m = NLayerDiscriminator(ndf=8, n_layers=3, get_interm_feat=True)
+        x = jnp.asarray(rng.standard_normal((1, 32, 32, 6)).astype(np.float32))
+        v = m.init(jax.random.key(0), x)
+        feats = m.apply(v, x)
+        assert len(feats) == 5  # n_layers + 2
+
+    def test_multiscale(self, rng):
+        m = MultiscaleDiscriminator(ndf=8, num_d=3, get_interm_feat=True)
+        x = jnp.asarray(rng.standard_normal((1, 64, 64, 6)).astype(np.float32))
+        v = m.init(jax.random.key(0), x)
+        res = m.apply(v, x)
+        assert len(res) == 3
+        assert all(len(r) == 5 for r in res)
+        # resolutions shrink across the pyramid
+        assert res[0][-1].shape[1] > res[2][-1].shape[1]
+
+
+class TestVgg:
+    def test_tap_shapes(self, rng):
+        m = Vgg19Features()
+        x = jnp.asarray(rng.standard_normal((1, 64, 64, 3)).astype(np.float32))
+        v = m.init(jax.random.key(0), x)
+        taps = m.apply(v, x)
+        assert [t.shape for t in taps] == [
+            (1, 64, 64, 64),
+            (1, 32, 32, 128),
+            (1, 16, 16, 256),
+            (1, 8, 8, 512),
+            (1, 4, 4, 512),
+        ]
