@@ -1,0 +1,256 @@
+"""The sequential, scale-stacked video generator (Vid2VidModelG equivalent).
+
+Reference behavior (reference: models/vid2vid_model_G.py):
+  - a stack of `n_scales_spatial` generators: netG0 = CompositeGenerator at
+    the coarsest pyramid level, netG1.. = CompositeLocalGenerator enhancers
+    at progressively finer levels with ngf halved per scale (:38-43);
+  - frames are generated strictly sequentially, each conditioned on the past
+    tG-1 generated frames, coarse-to-fine within a frame with feature
+    injection upward (:139-196);
+  - truncated BPTT: the previous-frame inputs are detached every
+    `n_frames_bp` frames (:166-168);
+  - when training only the finest scale, coarser outputs are detached (:181);
+  - first-frame strategies: zeros (`no_first_img`), real frames (train /
+    `use_real_img`), or a single-image generator (`use_single_G`) (:231-251).
+
+TPU-native design: the reference's per-frame GPU pipeline (frame t on GPU
+t//k with point-to-point copies, :151-189) disappears — the frame recurrence
+is one `jax.lax.scan` inside a single jit, the scale loop is unrolled, and
+cross-chunk state is the scan carry (a pyramid of (tG-1)-frame ring
+buffers). Data parallelism shards the batch axis outside this module.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from vid2vid_tpu.config import Options
+from vid2vid_tpu.nn.composite import (
+    CompositeGenerator,
+    CompositeLocalGenerator,
+    CompositeOut,
+)
+from vid2vid_tpu.ops.encode import fg_mask_from_onehot, instance_edges, label_one_hot
+from vid2vid_tpu.ops.pool import build_pyramid_video
+
+
+class ClipOutputs(NamedTuple):
+    """Per-clip generator outputs at the finest scale, time-major.
+
+    fake: (B, T, H, W, 3) blended frames; raw: hallucinated frames;
+    flow/weight: (B, T, H, W, 2/1) or None when no_flow.
+    """
+
+    fake: jax.Array
+    raw: jax.Array
+    flow: jax.Array | None
+    weight: jax.Array | None
+
+
+def stack_time(x: jax.Array) -> jax.Array:
+    """(B, K, H, W, C) -> (B, H, W, K*C), time-major channel blocks.
+
+    Matches the reference's `.view(b, -1, h, w)` flattening of (b, k, c, h, w)
+    so imported checkpoints see identical channel ordering.
+    """
+    b, k, h, w, c = x.shape
+    return jnp.transpose(x, (0, 2, 3, 1, 4)).reshape(b, h, w, k * c)
+
+
+class Vid2VidGenerator:
+    """Functional orchestration of the composite generator scale stack.
+
+    Holds flax module definitions (no state); parameters live in the pytree
+    returned by `init` with keys 'G0'..'G{n_scales-1}'.
+    """
+
+    def __init__(self, opt: Options):
+        self.opt = opt
+        self.n_scales = opt.n_scales_spatial
+        self.tG = opt.n_frames_G
+        no_flow = opt.effective_no_flow
+        self.scales: list[Any] = [
+            CompositeGenerator(
+                output_nc=opt.output_nc,
+                ngf=opt.ngf,
+                n_downsampling=opt.n_downsample_G,
+                n_blocks=opt.n_blocks,
+                norm=opt.norm,
+                use_fg=opt.fg,
+                no_flow=no_flow,
+            )
+        ]
+        for s in range(1, self.n_scales):
+            self.scales.append(
+                CompositeLocalGenerator(
+                    output_nc=opt.output_nc,
+                    ngf=opt.ngf_at_scale(s),
+                    n_blocks_local=opt.n_blocks_local,
+                    n_downsample_g=opt.n_downsample_G,
+                    scale=s,
+                    norm=opt.norm,
+                    use_fg=opt.fg,
+                    no_flow=no_flow,
+                )
+            )
+
+    # ------------------------------------------------------------------ input
+
+    def encode_input(
+        self, labels: jax.Array, inst: jax.Array | None = None
+    ) -> jax.Array:
+        """Encode raw per-frame conditioning into the generator input space.
+
+        labels: (B, T, H, W) integer label maps when label_nc > 0, else
+        (B, T, H, W, input_nc) float conditioning. inst: (B, T, H, W)
+        instance ids (appended as an edge channel when use_instance).
+        Reference: models/vid2vid_model_G.py:86-112.
+        """
+        opt = self.opt
+        if opt.label_nc > 0:
+            enc = label_one_hot(labels, opt.label_nc)
+        else:
+            enc = labels
+        if opt.use_instance:
+            edges = instance_edges(inst)[..., None]
+            enc = jnp.concatenate([enc, edges], axis=-1)
+        return enc
+
+    # ------------------------------------------------------------------ init
+
+    def init(self, key: jax.Array, batch: int, height: int, width: int):
+        """Initialize all scales' variables at their pyramid resolutions."""
+        opt = self.opt
+        c_in = opt.gen_input_nc * self.tG
+        c_prev = (self.tG - 1) * opt.output_nc
+        params: dict[str, Any] = {}
+        coarse = None
+        keys = jax.random.split(key, self.n_scales)
+        for s in range(self.n_scales):
+            si = self.n_scales - 1 - s
+            h, w = height >> si, width >> si
+            lab = jnp.zeros((batch, h, w, c_in))
+            prev = jnp.zeros((batch, h, w, c_prev))
+            mask = jnp.zeros((batch, h, w, 1)) if opt.fg else None
+            if s == 0:
+                variables = self.scales[0].init(keys[s], lab, prev, mask)
+                coarse = self.scales[0].apply(variables, lab, prev, mask)
+            else:
+                variables = self.scales[s].init(keys[s], lab, prev, coarse, mask)
+                coarse = self.scales[s].apply(variables, lab, prev, coarse, mask)
+            params[f"G{s}"] = variables
+        return params
+
+    # ------------------------------------------------------------------ state
+
+    def state_from_frames(self, frames: jax.Array):
+        """Initial ring buffers from (B, tG-1, H, W, 3) seed frames.
+
+        Builds the spatial pyramid (finest first), matching the reference's
+        build_pyr of fake_B_prev (reference: models/vid2vid_model_G.py:248).
+        """
+        return tuple(build_pyramid_video(frames, self.n_scales))
+
+    def zero_state(self, batch: int, height: int, width: int):
+        """no_first_img seed: all-zero previous frames."""
+        z = jnp.zeros((batch, self.tG - 1, height, width, self.opt.output_nc))
+        return self.state_from_frames(z)
+
+    # ------------------------------------------------------------------ clip
+
+    def generate_clip(
+        self,
+        params,
+        enc_A: jax.Array,
+        state,
+        *,
+        use_raw_only: bool = False,
+        train: bool = False,
+        n_frames_bp: int = 1,
+        finetune_all: bool = True,
+    ):
+        """Generate T frames sequentially from T+tG-1 encoded inputs.
+
+        Args:
+          params: {'G0': vars, ...} from `init`.
+          enc_A: (B, T+tG-1, H, W, C_enc) encoded conditioning.
+          state: per-level ring buffers, finest first (from `state_from_frames`).
+          use_raw_only: skip warping (first chunk under no_first_img).
+          n_frames_bp: detach cadence for truncated BPTT (training).
+          finetune_all: if False, detach all but the finest scale's outputs.
+
+        Returns:
+          (ClipOutputs, new_state); new_state is stop-gradiented (it crosses
+          the chunk boundary, reference: models/vid2vid_model_G.py:134).
+        """
+        opt = self.opt
+        tG, n_scales = self.tG, self.n_scales
+        t_total = enc_A.shape[1]
+        n_frames = t_total - (tG - 1)
+        a_pyr = build_pyramid_video(enc_A, n_scales)
+        no_flow = opt.effective_no_flow
+
+        def body(bufs, t):
+            if train and n_frames_bp > 0:
+                detach = (t % n_frames_bp) == 0
+                bufs_in = tuple(
+                    jnp.where(detach, jax.lax.stop_gradient(b), b) for b in bufs
+                )
+            else:
+                bufs_in = bufs
+
+            coarse: CompositeOut | None = None
+            finest: CompositeOut | None = None
+            new_bufs = list(bufs)
+            for s in range(n_scales):
+                si = n_scales - 1 - s
+                lab_seq = jax.lax.dynamic_slice_in_dim(a_pyr[si], t, tG, axis=1)
+                lab = stack_time(lab_seq)
+                prev = stack_time(bufs_in[si])
+                mask = (
+                    fg_mask_from_onehot(lab_seq[:, tG - 1], opt.fg_labels)
+                    if opt.fg
+                    else None
+                )
+                if s == 0:
+                    out = self.scales[0].apply(
+                        params["G0"], lab, prev, mask, use_raw_only, train
+                    )
+                else:
+                    out = self.scales[s].apply(
+                        params[f"G{s}"], lab, prev, coarse, mask, use_raw_only, train
+                    )
+                if train and s != n_scales - 1 and not finetune_all:
+                    out = jax.tree.map(jax.lax.stop_gradient, out)
+                coarse = out
+                # ring-buffer append on the *stored* (gradient-connected) bufs
+                new_bufs[si] = jnp.concatenate(
+                    [bufs[si][:, 1:], out.img_final[:, None]], axis=1
+                )
+                if s == n_scales - 1:
+                    finest = out
+
+            ys = (
+                finest.img_final,
+                finest.img_raw,
+                finest.flow if not no_flow else jnp.zeros(()),
+                finest.weight if not no_flow else jnp.zeros(()),
+            )
+            return tuple(new_bufs), ys
+
+        final_state, (fake, raw, flow, weight) = jax.lax.scan(
+            body, tuple(state), jnp.arange(n_frames)
+        )
+        # time-major (T, B, ...) -> (B, T, ...)
+        tm = lambda x: jnp.swapaxes(x, 0, 1)
+        outputs = ClipOutputs(
+            tm(fake),
+            tm(raw),
+            None if no_flow else tm(flow),
+            None if no_flow else tm(weight),
+        )
+        new_state = jax.tree.map(jax.lax.stop_gradient, final_state)
+        return outputs, new_state

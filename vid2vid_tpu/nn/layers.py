@@ -140,7 +140,9 @@ class BatchNorm(nn.Module):
             axes = tuple(range(x.ndim - 1))
             mean = jnp.mean(x, axis=axes)
             var = jnp.var(x, axis=axes)
-            if not self.is_initializing():
+            if not self.is_initializing() and self.is_mutable_collection(
+                "batch_stats"
+            ):
                 n = x.size // c
                 m = self.momentum
                 ra_mean.value = (1 - m) * ra_mean.value + m * mean
@@ -179,7 +181,9 @@ class InstanceNorm(nn.Module):
         if train:
             mean = jnp.mean(x, axis=(1, 2), keepdims=True)
             var = jnp.var(x, axis=(1, 2), keepdims=True)
-            if not self.is_initializing():
+            if not self.is_initializing() and self.is_mutable_collection(
+                "batch_stats"
+            ):
                 n = x.shape[1] * x.shape[2]
                 unbiased = var * (n / max(n - 1, 1))
                 m = self.momentum
