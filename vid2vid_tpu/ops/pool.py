@@ -24,16 +24,16 @@ def _avg_pool(
     dims = (1, window, window, 1)
     strides = (1, stride, stride, 1)
     padding = ((0, 0), (pad, pad), (pad, pad), (0, 0))
-    summed = jax.lax.reduce_window(
-        x, jnp.zeros((), x.dtype), jax.lax.add, dims, strides, padding
-    )
+    # init value must be a concrete scalar so XLA specializes this to the
+    # differentiable reduce-window-sum form (a traced zero breaks autodiff).
+    init = x.dtype.type(0)
+    summed = jax.lax.reduce_window(x, init, jax.lax.add, dims, strides, padding)
     if count_include_pad or pad == 0:
         return summed / jnp.asarray(window * window, x.dtype)
     ones = jnp.ones(x.shape[:3] + (1,), x.dtype)
-    counts = jax.lax.reduce_window(
-        ones, jnp.zeros((), x.dtype), jax.lax.add, dims, strides, padding
-    )
-    return summed / counts
+    counts = jax.lax.reduce_window(ones, init, jax.lax.add, dims, strides, padding)
+    # the count map has no useful gradient; keep it out of the tangent graph
+    return summed / jax.lax.stop_gradient(counts)
 
 
 def avg_pool_3x3s2(x: jax.Array) -> jax.Array:

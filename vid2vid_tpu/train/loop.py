@@ -1,0 +1,220 @@
+"""Training orchestration: per-clip chunk loop, temporal buffers, curriculum.
+
+Mirrors the reference's epoch → clip → chunk structure (reference:
+train.py:37-128, data/base_dataset.py:56-80):
+
+  for each clip (a (B, n_frames, H, W, *) stack from the data pipeline):
+    reset generator state and temporal buffers;
+    for each chunk of n_frames_load frames:
+      - encode inputs, compute FlowNet reference flows;
+      - G step (generate + all G losses + Adam update);
+      - D step; one D_T step per active temporal scale;
+      - carry generator ring buffers and temporal frame buffers forward.
+
+Host-side state (buffer lengths, chunk phase, curriculum) stays in Python —
+each distinct configuration jits once and is reused every epoch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vid2vid_tpu.config import Options
+from vid2vid_tpu.models.generator import Vid2VidGenerator
+from vid2vid_tpu.models.loss_engine import LossEngine
+from vid2vid_tpu.models.temporal import skipped_flows, skipped_frames
+from vid2vid_tpu.train.state import (
+    Schedule,
+    TrainState,
+    create_train_state,
+    reinit_g_optimizer,
+    set_learning_rate,
+)
+from vid2vid_tpu.train.steps import make_d_step, make_dt_step, make_g_step
+
+
+@dataclasses.dataclass
+class ClipCarry:
+    """Cross-chunk state within one clip."""
+
+    gen_state: Any = None
+    fake_prev_first: Any = None  # (B,1,H,W,3) for the warp-consistency loss
+    real_all: Any = None
+    fake_buf: Any = None
+    flow_all: Any = None
+    conf_all: Any = None
+    chunk_start: int = 0
+
+
+def zero_flow_fn(real_b, real_b_prev):
+    """Test/no-flownet fallback: zero flow, full confidence."""
+    b = real_b.shape[:-1]
+    return jnp.zeros(b + (2,)), jnp.ones(b + (1,))
+
+
+class Trainer:
+    """Owns models, optimizers, and the jitted step functions."""
+
+    def __init__(
+        self,
+        opt: Options,
+        flow_fn: Callable | None = None,
+        rng: jax.Array | None = None,
+    ):
+        self.opt = opt
+        self.gen = Vid2VidGenerator(opt)
+        self.engine = LossEngine(opt)
+        self.flow_fn = flow_fn or zero_flow_fn
+        self.schedule = Schedule(opt)
+        self.rng = rng if rng is not None else jax.random.key(opt.seed)
+
+    # ------------------------------------------------------------------ setup
+
+    def init_state(self, height: int, width: int, batch: int = 1) -> TrainState:
+        kg, kd = jax.random.split(self.rng)
+        init_g = jax.jit(
+            lambda k: self.gen.init(k, batch, height, width),
+        )
+        gparams = init_g(kg)
+        dparams = jax.jit(lambda k: self.engine.init(k, height, width))(kd)
+        state, (self.g_tx, self.d_tx, self.dt_tx) = create_train_state(
+            self.opt, gparams, dparams
+        )
+        self.g_step = make_g_step(self.gen, self.engine, self.opt, self.g_tx)
+        self.d_step = make_d_step(self.engine, self.opt, self.d_tx)
+        self.dt_step = make_dt_step(self.engine, self.opt, self.dt_tx)
+        return state
+
+    # ------------------------------------------------------------------ clip
+
+    def start_clip(self) -> ClipCarry:
+        return ClipCarry()
+
+    def train_chunk(
+        self,
+        state: TrainState,
+        carry: ClipCarry,
+        labels: jax.Array,       # (B, t_len, H, W) or (B, t_len, H, W, C)
+        real_b: jax.Array,       # (B, t_len, H, W, 3)
+        inst: jax.Array | None = None,
+    ):
+        """One optimization step over a chunk of t_len frames.
+
+        Returns (state, carry, loss_dict).
+        """
+        opt = self.opt
+        tG = opt.n_frames_G
+        t_scales = opt.n_scales_temporal
+        td = opt.n_frames_D
+        first_chunk = carry.gen_state is None
+
+        enc_a = self.gen.encode_input(labels, inst)
+        b, t_len, h, w = real_b.shape[:4]
+        n_load = t_len - tG + 1
+
+        # --- generator seed state (reference: vid2vid_model_G.py:231-251)
+        use_raw_only = False
+        if first_chunk:
+            if opt.no_first_img:
+                carry.gen_state = self.gen.zero_state(b, h, w)
+                use_raw_only = True
+            else:
+                carry.gen_state = self.gen.state_from_frames(real_b[:, : tG - 1])
+            carry.fake_prev_first = real_b[:, tG - 2 : tG - 1]
+        # else: fake_prev_first was set at the end of the previous chunk
+
+        # --- reference flows for the chunk's current frames
+        real_b_cur = real_b[:, tG - 1:]
+        real_b_prev = real_b[:, tG - 2 : -1]
+        flow_ref, conf_ref = self.flow_fn(real_b_cur, real_b_prev)
+
+        # --- temporal real/flow buffers + groups (host-static shapes)
+        carry.real_all, real_skipped = skipped_frames(
+            carry.real_all, real_b_cur, t_scales, td
+        )
+        carry.flow_all, carry.conf_all, flow_skipped, conf_skipped = skipped_flows(
+            carry.flow_all, carry.conf_all, flow_ref, conf_ref,
+            real_skipped, t_scales, td,
+            flow_fn=self.flow_fn,
+        )
+
+        # --- G step
+        state, loss_g, aux = self.g_step(
+            state, enc_a, real_b, carry.gen_state, flow_ref, conf_ref,
+            carry.fake_prev_first, carry.fake_buf,
+            tuple(real_skipped), tuple(flow_skipped),
+            use_raw_only=use_raw_only,
+            n_frames_bp=self.schedule.n_frames_bp,
+            finetune_all=self.schedule.finetune_all,
+            first_chunk=first_chunk,
+        )
+        outs = aux["outs"]
+        carry.gen_state = aux["gen_state"]
+        carry.fake_buf = aux["fake_buf"]
+        carry.fake_prev_first = outs.fake[:, -1:]
+        fake_skipped = aux["fake_skipped"]
+
+        # --- D step
+        state, loss_d, d_losses = self.d_step(
+            state, enc_a, real_b, outs.fake,
+            outs.raw if not use_raw_only else None,
+            with_raw=not use_raw_only,
+        )
+
+        # --- temporal D steps
+        dt_losses = []
+        for s in range(t_scales):
+            if real_skipped[s] is None or fake_skipped[s] is None:
+                continue
+            state, loss_dt, dtl = self.dt_step(
+                state, real_skipped[s], fake_skipped[s], flow_skipped[s],
+                scale=s,
+            )
+            dt_losses.append(dtl)
+
+        carry.chunk_start += n_load
+        self.schedule.total_steps += self.opt.batchSize
+
+        loss_dict = {k: float(v) for k, v in aux["losses"].items()}
+        loss_dict.update({k: float(v) for k, v in d_losses.items()})
+        for s, dtl in enumerate(dt_losses):
+            loss_dict.update({f"{k}{s}": float(v) for k, v in dtl.items()})
+        for s, tl in enumerate(aux["t_losses"]):
+            loss_dict.update({f"{k}{s}": float(v) for k, v in tl.items()})
+        loss_dict["loss_G_total"] = float(loss_g)
+        loss_dict["loss_D_total"] = float(loss_d)
+        return state, carry, loss_dict
+
+    def train_clip(self, state, labels, real_b, inst=None):
+        """Run all chunks of one clip; returns (state, last loss_dict)."""
+        opt = self.opt
+        tG = opt.n_frames_G
+        n_total = labels.shape[1]  # includes the tG-1 warmup frames
+        n_load = min(self.schedule.n_frames_load, n_total - tG + 1)
+        t_len = n_load + tG - 1
+        carry = self.start_clip()
+        losses = {}
+        for i in range(0, n_total - t_len + 1, n_load):
+            state, carry, losses = self.train_chunk(
+                state,
+                carry,
+                labels[:, i : i + t_len],
+                real_b[:, i : i + t_len],
+                inst[:, i : i + t_len] if inst is not None else None,
+            )
+        return state, losses
+
+    # ------------------------------------------------------------------ epoch
+
+    def end_of_epoch(self, state: TrainState) -> TrainState:
+        """LR decay, curriculum growth, scale unfreeze."""
+        events = self.schedule.end_of_epoch()
+        if events["unfreeze"]:
+            state = reinit_g_optimizer(state, self.opt)
+        state = set_learning_rate(state, self.opt, self.schedule.lr_factor())
+        return state

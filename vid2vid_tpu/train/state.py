@@ -1,0 +1,176 @@
+"""Train state: the three optimizer groups + schedules + curriculum.
+
+Reference semantics reproduced (reference: models/models.py:86-164,
+models/base_model.py:154-180, models/vid2vid_model_G.py:66-84,
+models/vid2vid_model_D.py:76-91):
+
+  - optimizer_G over generator params — Adam(lr, (beta1, 0.999)), or
+    TTUR variant Adam(lr/2, (0, 0.9));
+  - optimizer_D over spatial (+face) discriminator — Adam(lr) or TTUR 2lr;
+  - optimizer_D_T[s] per temporal scale — always Adam(lr, (beta1, 0.999));
+  - linear LR decay after `niter` epochs over `niter_decay` epochs;
+  - `niter_fix_global`: for the first N epochs only the finest generator
+    scale is trained; at unfreeze the G optimizer is re-created (moments
+    reset) — we re-init the optax state to match;
+  - curriculum: every `niter_step` epochs the dataset's n_frames_total
+    doubles and the per-step frame window / BPTT length grow
+    (update_training_batch, reference: models/base_model.py:169-180).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from vid2vid_tpu.config import Options
+
+
+@struct.dataclass
+class TrainState:
+    gparams: Any
+    dparams: Any  # {'D', 'D_f'?, 'D_T{s}', 'vgg'?}
+    opt_g: Any
+    opt_d: Any
+    opt_dt: tuple  # per temporal scale
+
+
+@dataclasses.dataclass
+class Schedule:
+    """Host-side training schedule & curriculum state (not traced)."""
+
+    opt: Options
+    epoch: int = 1
+    epoch_iter: int = 0
+    total_steps: int = 0
+    n_frames_total: int = 6  # dataset curriculum (doubles every niter_step)
+    n_frames_load: int = 1
+    n_frames_bp: int = 1
+    finetune_all: bool = True
+
+    def __post_init__(self):
+        o = self.opt
+        self.finetune_all = o.niter_fix_global == 0
+        self.n_frames_total = min(o.n_frames_total, 6)
+        self.n_frames_load = min(
+            o.max_frames_per_gpu * max(o.n_devices, 1), self.n_frames_total
+        )
+        self.n_frames_bp = 1
+
+    def lr_factor(self, epoch: int | None = None) -> float:
+        """Linear decay past niter (reference: base_model.py:154-159)."""
+        o = self.opt
+        e = self.epoch if epoch is None else epoch
+        if e <= o.niter:
+            return 1.0
+        return max(0.0, 1.0 - (e - o.niter) / o.niter_decay)
+
+    def end_of_epoch(self) -> dict:
+        """Advance schedule; returns events {'unfreeze': bool, 'grow': bool}.
+
+        Mirrors update_models (reference: models/models.py:151-164).
+        """
+        o = self.opt
+        events = {"unfreeze": False, "grow": False}
+        if o.niter_fix_global != 0 and self.epoch == o.niter_fix_global:
+            self.finetune_all = True
+            events["unfreeze"] = True
+        if self.epoch % o.niter_step == 0:
+            old = self.n_frames_total
+            self.n_frames_total = min(self.n_frames_total * 2, 128, o.n_frames_total)
+            # grow BPTT window then frames-per-device window
+            ratio = self.epoch // o.niter_step
+            if self.n_frames_bp < self.n_frames_load:
+                nfb = min(o.max_frames_backpropagate, 2**ratio)
+                self.n_frames_bp = self.n_frames_load // max(
+                    1, -(-self.n_frames_load // nfb)
+                )
+            per_dev = self.n_frames_load // max(o.n_devices, 1)
+            if per_dev < o.max_frames_per_gpu:
+                self.n_frames_load = min(
+                    self.n_frames_load * 2,
+                    o.max_frames_per_gpu * max(o.n_devices, 1),
+                )
+            self.n_frames_load = min(self.n_frames_load, self.n_frames_total)
+            events["grow"] = old != self.n_frames_total
+        self.epoch += 1
+        return events
+
+
+def _adam(lr, b1, b2):
+    return optax.inject_hyperparams(optax.adam)(learning_rate=lr, b1=b1, b2=b2)
+
+
+def make_optimizers(opt: Options):
+    """The three optimizer groups with TTUR handling."""
+    if opt.TTUR:
+        g_tx = _adam(opt.lr / 2, 0.0, 0.9)
+        d_tx = _adam(opt.lr * 2, 0.0, 0.9)
+    else:
+        g_tx = _adam(opt.lr, opt.beta1, 0.999)
+        d_tx = _adam(opt.lr, opt.beta1, 0.999)
+    dt_tx = _adam(opt.lr, opt.beta1, 0.999)
+    return g_tx, d_tx, dt_tx
+
+
+def d_param_labels(dparams) -> Any:
+    """Split D params into the spatial-D group vs temporal/frozen groups."""
+    return {
+        k: ("d" if k in ("D", "D_f") else "frozen") for k in dparams
+    }
+
+
+def create_train_state(
+    opt: Options, gparams, dparams
+) -> tuple[TrainState, tuple]:
+    """Build TrainState; returns (state, (g_tx, d_tx, dt_tx)) transforms.
+
+    The D transform applies to the {'D','D_f'} subtree only; vgg and D_T
+    params are untouched by opt_d (D_T have their own optimizers, vgg is
+    frozen).
+    """
+    g_tx, d_tx, dt_tx = make_optimizers(opt)
+    d_masked = optax.multi_transform(
+        {"d": d_tx, "frozen": optax.set_to_zero()}, d_param_labels(dparams)
+    )
+    opt_dt = tuple(
+        dt_tx.init(dparams[f"D_T{s}"]) for s in range(opt.n_scales_temporal)
+    )
+    state = TrainState(
+        gparams=gparams,
+        dparams=dparams,
+        opt_g=g_tx.init(gparams),
+        opt_d=d_masked.init(dparams),
+        opt_dt=opt_dt,
+    )
+    return state, (g_tx, d_masked, dt_tx)
+
+
+def reinit_g_optimizer(state: TrainState, opt: Options) -> TrainState:
+    """Reset G optimizer moments at the niter_fix_global unfreeze point
+    (the reference re-creates the Adam, reference: base_model.py:161-167)."""
+    g_tx, _, _ = make_optimizers(opt)
+    return state.replace(opt_g=g_tx.init(state.gparams))
+
+
+def set_learning_rate(state: TrainState, opt: Options, factor: float) -> TrainState:
+    """Scale all groups' learning rates (linear decay hook)."""
+
+    def upd(opt_state, base_lr):
+        opt_state.hyperparams["learning_rate"] = base_lr * factor
+        return opt_state
+
+    lr_g = (opt.lr / 2) if opt.TTUR else opt.lr
+    lr_d = (opt.lr * 2) if opt.TTUR else opt.lr
+    new_opt_g = upd(state.opt_g, lr_g)
+    # opt_d is a multi_transform: inner_states['d'] holds the injected adam
+    new_opt_d = state.opt_d
+    new_opt_d.inner_states["d"].inner_state.hyperparams["learning_rate"] = (
+        lr_d * factor
+    )
+    new_opt_dt = tuple(upd(s, opt.lr) for s in state.opt_dt)
+    return state.replace(opt_g=new_opt_g, opt_d=new_opt_d, opt_dt=new_opt_dt)
