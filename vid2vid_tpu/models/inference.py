@@ -1,0 +1,157 @@
+"""Streaming inference engine (the test.py path).
+
+Reference behavior (reference: models/vid2vid_model_G.py:198-251, test.py):
+frames are generated one at a time from a rolling window of tG label maps
+and the last tG-1 generated frames; the first tG-1 frames come from one of
+the first-frame strategies (zeros / real frames / a single-image generator).
+
+TPU design: two entry points —
+  - `generate_clip`: whole-clip scan (maximum throughput; the bench path);
+  - `step`: one-frame jitted step with explicit state (true streaming).
+Both share the generator's scan body. Optional bfloat16 compute policy:
+master params stay f32; params and inputs are cast at the jit boundary.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from vid2vid_tpu.config import Options
+from vid2vid_tpu.models.generator import Vid2VidGenerator
+from vid2vid_tpu.nn.pix2pixhd import (
+    Encoder,
+    GlobalGenerator,
+    GlobalWithFeatures,
+    LocalEnhancer,
+)
+
+
+def cast_pytree(tree, dtype):
+    """Cast all floating leaves of a pytree to dtype."""
+    def cast(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+
+    return jax.tree.map(cast, tree)
+
+
+def make_single_image_generator(opt: Options):
+    """The single-image G used for first frames (reference:
+    models/vid2vid_model_G.py:261-288 hard-codes arch by dataset/loadSize).
+
+    Returns (module, needs_features). Cityscapes: GlobalGenerator
+    (ngf 64, nd 3/4) or LocalEnhancer at 2048; face: GlobalWithFeatures +
+    Encoder for instance features.
+    """
+    root = opt.dataroot.lower()
+    if "city" in root:
+        if opt.loadSize == 512:
+            return GlobalGenerator(ngf=64, n_downsampling=3, norm="instance"), False
+        if opt.loadSize == 1024:
+            return GlobalGenerator(ngf=64, n_downsampling=4, norm="instance"), False
+        if opt.loadSize == 2048:
+            return (
+                LocalEnhancer(ngf=32, n_downsample_global=4, norm="instance"),
+                False,
+            )
+        raise ValueError(f"no single-image generator for loadSize {opt.loadSize}")
+    if "face" in root:
+        return (
+            GlobalWithFeatures(feat_num=16, ngf=64, n_downsampling=3, norm="instance"),
+            True,
+        )
+    raise ValueError(f"no single-image generator for dataroot {opt.dataroot!r}")
+
+
+class InferenceEngine:
+    """Functional inference wrapper around Vid2VidGenerator."""
+
+    def __init__(self, opt: Options):
+        self.opt = opt
+        self.gen = Vid2VidGenerator(opt)
+        self.compute_dtype = jnp.bfloat16 if (opt.bf16 or opt.fp16) else jnp.float32
+        self._clip_fn = None
+        self._step_fn = None
+
+    # ------------------------------------------------------------------ init
+
+    def init(self, key: jax.Array, batch: int, height: int, width: int):
+        return jax.jit(
+            lambda k: self.gen.init(k, batch, height, width)
+        )(key)
+
+    # ---------------------------------------------------------------- encode
+
+    def encode(self, labels, inst=None):
+        return self.gen.encode_input(labels, inst)
+
+    # ------------------------------------------------------------- first frame
+
+    def initial_state(
+        self,
+        batch: int,
+        height: int,
+        width: int,
+        real_frames: jax.Array | None = None,
+        single_g_frames: jax.Array | None = None,
+    ):
+        """Seed state per the first-frame strategy.
+
+        Priority: explicit single-G frames > real frames > zeros
+        (reference: models/vid2vid_model_G.py:231-246).
+        """
+        tG = self.opt.n_frames_G
+        if single_g_frames is not None:
+            return self.gen.state_from_frames(single_g_frames)
+        if real_frames is not None:
+            return self.gen.state_from_frames(real_frames[:, : tG - 1])
+        return self.gen.zero_state(batch, height, width)
+
+    # ------------------------------------------------------------------ clip
+
+    def generate_clip(self, params, enc_a, state, use_raw_only=False):
+        """(B, T+tG-1, H, W, C) encoded labels -> (ClipOutputs, new state)."""
+        if self._clip_fn is None:
+            dt = self.compute_dtype
+
+            @partial(jax.jit, static_argnames=("use_raw_only",))
+            def fn(params, enc_a, state, use_raw_only):
+                params = cast_pytree(params, dt)
+                enc_a = enc_a.astype(dt)
+                state = cast_pytree(state, dt)
+                outs, new_state = self.gen.generate_clip(
+                    params, enc_a, state, use_raw_only=use_raw_only, train=False
+                )
+                return (
+                    jax.tree.map(lambda x: x.astype(jnp.float32), outs),
+                    new_state,
+                )
+
+            self._clip_fn = fn
+        return self._clip_fn(params, enc_a, state, use_raw_only)
+
+    # ------------------------------------------------------------------ step
+
+    def step(self, params, enc_window, state, use_raw_only=False):
+        """One frame from a (B, tG, H, W, C) label window + state."""
+        if self._step_fn is None:
+            dt = self.compute_dtype
+
+            @partial(jax.jit, static_argnames=("use_raw_only",))
+            def fn(params, enc_window, state, use_raw_only):
+                params = cast_pytree(params, dt)
+                enc_window = enc_window.astype(dt)
+                state = cast_pytree(state, dt)
+                outs, new_state = self.gen.generate_clip(
+                    params, enc_window, state,
+                    use_raw_only=use_raw_only, train=False,
+                )
+                return outs.fake[:, 0].astype(jnp.float32), new_state
+
+            self._step_fn = fn
+        return self._step_fn(params, enc_window, state, use_raw_only)
