@@ -202,10 +202,6 @@ def build_parser(is_train: bool) -> argparse.ArgumentParser:
                 parser.add_argument(flag, action="store_true")
         else:
             parser.add_argument(flag, type=type(default), default=default)
-    # reference alias: --which_epoch also exists at test time
-    if not is_train:
-        parser.add_argument("--which_epoch", type=str, default="latest")
-        parser.add_argument("--continue_train", action="store_true")
     return parser
 
 

@@ -137,21 +137,32 @@ class InferenceEngine:
 
     # ------------------------------------------------------------------ step
 
-    def step(self, params, enc_window, state, use_raw_only=False):
-        """One frame from a (B, tG, H, W, C) label window + state."""
+    def step(self, params, labels_window, inst_window, state, use_raw_only=False):
+        """One frame from a raw (B, tG, H, W[, C]) label window + state.
+
+        Encoding (one-hot, instance edges) happens inside the jit — every
+        eager op is a round trip on remote-device platforms.
+        """
         if self._step_fn is None:
             dt = self.compute_dtype
 
             @partial(jax.jit, static_argnames=("use_raw_only",))
-            def fn(params, enc_window, state, use_raw_only):
+            def fn(params, labels_window, inst_window, state, use_raw_only):
+                enc = self.gen.encode_input(labels_window, inst_window)
                 params = cast_pytree(params, dt)
-                enc_window = enc_window.astype(dt)
+                enc = enc.astype(dt)
                 state = cast_pytree(state, dt)
                 outs, new_state = self.gen.generate_clip(
-                    params, enc_window, state,
+                    params, enc, state,
                     use_raw_only=use_raw_only, train=False,
                 )
                 return outs.fake[:, 0].astype(jnp.float32), new_state
 
             self._step_fn = fn
-        return self._step_fn(params, enc_window, state, use_raw_only)
+        return self._step_fn(params, labels_window, inst_window, state, use_raw_only)
+
+    def seed_state(self, frames):
+        """Jitted state_from_frames (pyramid build) for sequence starts."""
+        if not hasattr(self, "_seed_fn") or self._seed_fn is None:
+            self._seed_fn = jax.jit(self.gen.state_from_frames)
+        return self._seed_fn(frames)

@@ -65,7 +65,7 @@ class Schedule:
         """Linear decay past niter (reference: base_model.py:154-159)."""
         o = self.opt
         e = self.epoch if epoch is None else epoch
-        if e <= o.niter:
+        if e <= o.niter or o.niter_decay <= 0:
             return 1.0
         return max(0.0, 1.0 - (e - o.niter) / o.niter_decay)
 
