@@ -60,6 +60,12 @@ def stack_time(x: jax.Array) -> jax.Array:
     return jnp.transpose(x, (0, 2, 3, 1, 4)).reshape(b, h, w, k * c)
 
 
+def unstack_time(x: jax.Array, k: int) -> jax.Array:
+    """(B, H, W, K*C) -> (B, K, H, W, C) — inverse of stack_time."""
+    b, h, w, kc = x.shape
+    return jnp.transpose(x.reshape(b, h, w, k, kc // k), (0, 3, 1, 2, 4))
+
+
 class Vid2VidGenerator:
     """Functional orchestration of the composite generator scale stack.
 
@@ -190,8 +196,18 @@ class Vid2VidGenerator:
         tG, n_scales = self.tG, self.n_scales
         t_total = enc_A.shape[1]
         n_frames = t_total - (tG - 1)
-        a_pyr = build_pyramid_video(enc_A, n_scales)
+        # time-minor pyramid layout (B, H, W, T, C): the per-step tG-window
+        # slice + channel merge is then a reshape with no transpose — the
+        # time-major layout cost a full-frame transpose per scale per step.
+        a_pyr = [
+            jnp.transpose(p, (0, 2, 3, 1, 4))
+            for p in build_pyramid_video(enc_A, n_scales)
+        ]
         no_flow = opt.effective_no_flow
+        c_out = opt.output_nc
+
+        # ring buffers kept channel-stacked (B, H, W, (tG-1)*3)
+        state = tuple(stack_time(s) for s in state)
 
         def body(bufs, t):
             if train and n_frames_bp > 0:
@@ -207,11 +223,12 @@ class Vid2VidGenerator:
             new_bufs = list(bufs)
             for s in range(n_scales):
                 si = n_scales - 1 - s
-                lab_seq = jax.lax.dynamic_slice_in_dim(a_pyr[si], t, tG, axis=1)
-                lab = stack_time(lab_seq)
-                prev = stack_time(bufs_in[si])
+                win = jax.lax.dynamic_slice_in_dim(a_pyr[si], t, tG, axis=3)
+                b_, h_, w_ = win.shape[:3]
+                lab = win.reshape(b_, h_, w_, -1)
+                prev = bufs_in[si]
                 mask = (
-                    fg_mask_from_onehot(lab_seq[:, tG - 1], opt.fg_labels)
+                    fg_mask_from_onehot(win[:, :, :, tG - 1], opt.fg_labels)
                     if opt.fg
                     else None
                 )
@@ -228,7 +245,7 @@ class Vid2VidGenerator:
                 coarse = out
                 # ring-buffer append on the *stored* (gradient-connected) bufs
                 new_bufs[si] = jnp.concatenate(
-                    [bufs[si][:, 1:], out.img_final[:, None]], axis=1
+                    [bufs[si][..., c_out:], out.img_final], axis=-1
                 )
                 if s == n_scales - 1:
                     finest = out
@@ -242,7 +259,7 @@ class Vid2VidGenerator:
             return tuple(new_bufs), ys
 
         final_state, (fake, raw, flow, weight) = jax.lax.scan(
-            body, tuple(state), jnp.arange(n_frames)
+            body, state, jnp.arange(n_frames)
         )
         # time-major (T, B, ...) -> (B, T, ...)
         tm = lambda x: jnp.swapaxes(x, 0, 1)
@@ -252,5 +269,6 @@ class Vid2VidGenerator:
             None if no_flow else tm(flow),
             None if no_flow else tm(weight),
         )
-        new_state = jax.tree.map(jax.lax.stop_gradient, final_state)
+        new_state = tuple(unstack_time(s, tG - 1) for s in final_state)
+        new_state = jax.tree.map(jax.lax.stop_gradient, new_state)
         return outputs, new_state
