@@ -233,13 +233,21 @@ class Vid2VidGenerator:
                     else None
                 )
                 if s == 0:
-                    out = self.scales[0].apply(
-                        params["G0"], lab, prev, mask, use_raw_only, train
+                    apply0 = lambda p, a, b, m: self.scales[0].apply(
+                        p, a, b, m, use_raw_only, train
                     )
+                    if self.opt.remat and train:
+                        apply0 = jax.checkpoint(apply0)
+                    out = apply0(params["G0"], lab, prev, mask)
                 else:
-                    out = self.scales[s].apply(
-                        params[f"G{s}"], lab, prev, coarse, mask, use_raw_only, train
+                    apply_s = (
+                        lambda p, a, b, c_, m, _s=s: self.scales[_s].apply(
+                            p, a, b, c_, m, use_raw_only, train
+                        )
                     )
+                    if self.opt.remat and train:
+                        apply_s = jax.checkpoint(apply_s)
+                    out = apply_s(params[f"G{s}"], lab, prev, coarse, mask)
                 if train and s != n_scales - 1 and not finetune_all:
                     out = jax.tree.map(jax.lax.stop_gradient, out)
                 coarse = out

@@ -19,6 +19,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from vid2vid_tpu.config import Options
 from vid2vid_tpu.models.generator import Vid2VidGenerator
@@ -166,3 +167,83 @@ class InferenceEngine:
         if not hasattr(self, "_seed_fn") or self._seed_fn is None:
             self._seed_fn = jax.jit(self.gen.state_from_frames)
         return self._seed_fn(frames)
+
+    # ------------------------------------------------------ single-image G
+
+    def build_single_g(self):
+        """Instantiate the single-image first-frame generator for this opt."""
+        self._single_g, self._single_needs_feat = make_single_image_generator(
+            self.opt
+        )
+        if self._single_needs_feat:
+            self._encoder = Encoder(
+                output_nc=16, ngf=16, n_downsampling=4, norm="instance"
+            )
+        return self._single_g
+
+    def single_g_first_frames(
+        self,
+        params_i,
+        enc_first: jax.Array,
+        real_first: jax.Array | None = None,
+        pool_map: jax.Array | None = None,
+        encoder_params=None,
+        feature_clusters: dict | None = None,
+    ):
+        """Generate the first tG-1 frames with the single-image generator.
+
+        enc_first: (B, tG-1, H, W, C) encoded label maps (one-hot only, no
+        instance channel — reference strips it, vid2vid_model_G.py:239-240).
+        Face mode additionally retrieves per-part feature maps from the
+        nearest training cluster (reference: vid2vid_model_G.py:290-320).
+        """
+        tG = self.opt.n_frames_G
+        frames = []
+        apply_g = jax.jit(lambda p, x, f: self._single_g.apply(p, x, f))
+        for i in range(tG - 1):
+            x = enc_first[:, i]
+            if self.opt.label_nc > 0 and self.opt.use_instance:
+                x = x[..., : self.opt.label_nc]
+            feat = None
+            if self._single_needs_feat:
+                feat = self.face_features(
+                    encoder_params, real_first[:, i], pool_map[:, i],
+                    feature_clusters,
+                )
+            frames.append(apply_g(params_i, x, feat))
+        return self.gen.state_from_frames(jnp.stack(frames, axis=1))
+
+    def face_features(
+        self, encoder_params, real_image, inst, feature_clusters: dict
+    ):
+        """Instance features snapped to the nearest training cluster.
+
+        Reference (models/vid2vid_model_G.py:290-320): encode the real
+        image, then for each facial part replace its features with the
+        nearest cluster centroid from the precomputed features dictionary
+        {part_label: (n_clusters, feat_num+1) array}.
+        """
+        feat_num = 16
+        enc = jax.jit(
+            lambda p, x, i: self._encoder.apply(p, x, i)
+        )(encoder_params, real_image, inst)
+        enc_np = np.asarray(enc)
+        inst_np = np.asarray(inst).astype(int)
+        out = np.zeros(
+            (inst_np.shape[0],) + inst_np.shape[1:3] + (feat_num,), np.float32
+        )
+        for label in np.unique(inst_np):
+            if label not in feature_clusters:
+                continue
+            clusters = np.asarray(feature_clusters[label])  # (n, feat_num+1)
+            ys, xs = np.nonzero(inst_np[0] == label)[:2] if inst_np.ndim == 3 else (None, None)
+            mask = inst_np[0] == label
+            if not mask.any():
+                continue
+            # representative feature = encoding at the first pixel of the part
+            yx = np.argwhere(mask)[0]
+            feat_ori = enc_np[0, yx[0], yx[1], :feat_num]
+            dists = ((clusters[:, :feat_num] - feat_ori) ** 2).sum(-1)
+            best = int(np.argmin(dists))
+            out[0][mask] = clusters[min(best, len(clusters) - 1), :feat_num]
+        return jnp.asarray(out)

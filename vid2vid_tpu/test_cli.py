@@ -73,7 +73,9 @@ def main(argv=None):
 
         if state is None:
             h, w = a.shape[:2]
-            if item.get("B") is not None and opt.use_real_img:
+            if opt.use_single_G:
+                state = _single_g_seed(opt, eng, labels, item)
+            elif item.get("B") is not None and opt.use_real_img:
                 state = eng.seed_state(
                     jnp.asarray(np.stack([item["B"]] * (tG - 1))[None])
                 )
@@ -103,6 +105,74 @@ def main(argv=None):
             print(f"processed {count} frames -> {save_dir}")
 
     print(f"done: {count} frames written to {save_dir}")
+
+
+def _single_g_seed(opt, eng, labels, item):
+    """use_single_G first-frame strategy: run the single-image generator on
+    the first tG-1 label maps (reference: models/vid2vid_model_G.py:237-288).
+
+    Single-image params live under checkpoints/<registry>/state/ as orbax
+    trees (convert published .pth with vid2vid_tpu.tools.convert_checkpoint);
+    face mode also loads the feature Encoder + features.npy clusters.
+    """
+    import numpy as np
+    import orbax.checkpoint as ocp
+
+    tG = opt.n_frames_G
+    eng.build_single_g()
+    enc = eng.encode(jnp.asarray(labels))[:, : tG - 1]
+
+    root = opt.dataroot.lower()
+    if "city" in root:
+        reg_dir = os.path.join(opt.checkpoints_dir, "label2city_single", "state")
+        tag = f"G_{opt.loadSize}"
+    else:
+        reg_dir = os.path.join(opt.checkpoints_dir, "edge2face_single", "state")
+        tag = "G"
+    path = os.path.abspath(os.path.join(reg_dir, tag))
+    template = jax.jit(eng._single_g.init)(
+        jax.random.key(0),
+        enc[:, 0] if not eng._single_needs_feat else enc[:, 0],
+        *( [jnp.zeros(enc.shape[:1] + enc.shape[2:4] + (16,))]
+           if eng._single_needs_feat else [] ),
+    )
+    if os.path.isdir(path):
+        params_i = ocp.PyTreeCheckpointer().restore(path, item=template)
+    else:
+        print(f"WARNING: no single-G checkpoint at {path}; using random init")
+        params_i = template
+
+    encoder_params = None
+    clusters = None
+    real_first = None
+    pool_map = None
+    if eng._single_needs_feat:
+        epath = os.path.abspath(os.path.join(reg_dir, "E"))
+        etemplate = jax.jit(eng._encoder.init)(
+            jax.random.key(1),
+            jnp.zeros(enc.shape[:1] + enc.shape[2:4] + (3,)),
+            jnp.zeros(enc.shape[:1] + enc.shape[2:4], jnp.int32),
+        )
+        encoder_params = (
+            ocp.PyTreeCheckpointer().restore(epath, item=etemplate)
+            if os.path.isdir(epath)
+            else etemplate
+        )
+        fpath = os.path.join(reg_dir, "features.npy")
+        if os.path.exists(fpath):
+            clusters = np.load(fpath, allow_pickle=True).item()
+        else:
+            clusters = {}
+        b = item.get("B")
+        real = b if b is not None else np.zeros(labels.shape[2:4] + (3,), np.float32)
+        real_first = jnp.asarray(np.stack([real] * (tG - 1))[None])
+        inst = item.get("inst")
+        pm = inst if inst is not None else np.zeros(labels.shape[2:4], np.int32)
+        pool_map = jnp.asarray(np.stack([pm] * (tG - 1))[None])
+
+    return eng.single_g_first_frames(
+        params_i, enc, real_first, pool_map, encoder_params, clusters
+    )
 
 
 def _load_params(opt, eng, h, w):

@@ -154,6 +154,8 @@ class Trainer:
             first_chunk=first_chunk,
         )
         outs = aux["outs"]
+        self.last_outs = outs  # for visualization (device arrays, lazy)
+        self.last_inputs = (labels, real_b, flow_ref, conf_ref)
         carry.gen_state = aux["gen_state"]
         carry.fake_buf = aux["fake_buf"]
         carry.fake_prev_first = outs.fake[:, -1:]

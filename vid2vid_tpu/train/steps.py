@@ -67,15 +67,32 @@ def make_g_step(gen: Vid2VidGenerator, engine: LossEngine, opt, g_tx):
         first_chunk: bool,
     ):
         def loss_fn(gparams):
+            if opt.bf16 or opt.fp16:
+                # mixed precision: f32 master params, bf16 generator forward
+                # (grads return f32 through the cast; losses stay f32)
+                from vid2vid_tpu.models.inference import cast_pytree
+
+                gp = cast_pytree(gparams, jnp.bfloat16)
+                enc = enc_a.astype(jnp.bfloat16)
+                gs = jax.tree.map(
+                    lambda x: x.astype(jnp.bfloat16), gen_state
+                )
+            else:
+                gp, enc, gs = gparams, enc_a, gen_state
             outs, new_gen_state = gen.generate_clip(
-                gparams,
-                enc_a,
-                gen_state,
+                gp,
+                enc,
+                gs,
                 use_raw_only=use_raw_only,
                 train=True,
                 n_frames_bp=n_frames_bp,
                 finetune_all=finetune_all,
             )
+            if opt.bf16 or opt.fp16:
+                outs = jax.tree.map(lambda x: x.astype(jnp.float32), outs)
+                new_gen_state = jax.tree.map(
+                    lambda x: x.astype(jnp.float32), new_gen_state
+                )
             real_a = enc_a[:, tG - 1:]
             real_b = real_b_all[:, tG - 1:]
             real_b_prev = real_b_all[:, tG - 2:-1]

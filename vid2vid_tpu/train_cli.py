@@ -81,6 +81,9 @@ def main(argv=None):
                 )
                 visualizer.plot_current_errors(losses, sched.total_steps)
 
+            if sched.total_steps % opt.display_freq < opt.batchSize:
+                _dump_visuals(opt, trainer, visualizer, epoch, sched.total_steps)
+
             if sched.total_steps % opt.save_latest_freq < opt.batchSize:
                 save_checkpoint(opt, state, sched, "latest")
 
@@ -94,6 +97,36 @@ def main(argv=None):
         state = trainer.end_of_epoch(state)
 
     return state
+
+
+def _dump_visuals(opt, trainer, visualizer, epoch, step):
+    """save_all_tensors equivalent (reference: util/util.py:13-44): dump the
+    last chunk's inputs/outputs to the HTML gallery."""
+    import numpy as np
+
+    from vid2vid_tpu.utils.images import flow_to_color, label_to_color, to_image
+
+    if not hasattr(trainer, "last_outs"):
+        return
+    outs = trainer.last_outs
+    labels, real_b, flow_ref, conf_ref = trainer.last_inputs
+    tG = opt.n_frames_G
+    visuals = {
+        "input_label": (
+            label_to_color(np.asarray(labels[0, -1]), opt.label_nc)
+            if opt.label_nc > 0
+            else to_image(np.asarray(labels[0, -1])[..., :3])
+        ),
+        "fake_image": to_image(np.asarray(outs.fake[0, -1])),
+        "fake_raw_image": to_image(np.asarray(outs.raw[0, -1])),
+        "real_image": to_image(np.asarray(real_b[0, -1])),
+        "flow_ref": flow_to_color(np.asarray(flow_ref[0, -1])),
+        "conf_ref": to_image(np.asarray(conf_ref[0, -1]) * 2 - 1),
+    }
+    if outs.flow is not None:
+        visuals["flow"] = flow_to_color(np.asarray(outs.flow[0, -1]))
+        visuals["weight"] = to_image(np.asarray(outs.weight[0, -1]) * 2 - 1)
+    visualizer.display_current_results(visuals, epoch, step)
 
 
 def _build_flow_fn(opt):
