@@ -87,6 +87,14 @@ def main(argv=None):
             if sched.total_steps % opt.save_latest_freq < opt.batchSize:
                 save_checkpoint(opt, state, sched, "latest")
 
+            if opt.debug:
+                from vid2vid_tpu.utils.profiling import device_memory_stats
+
+                for dev, st in device_memory_stats().items():
+                    used = st.get("bytes_in_use", 0) / 1e9
+                    lim = st.get("bytes_limit", 0) / 1e9
+                    print(f"  {dev}: {used:.2f} / {lim:.2f} GB")
+
         visualizer.vis_print(
             f"End of epoch {epoch} / {total_epochs} \t "
             f"Time Taken: {time.time() - epoch_start:.0f} sec"
