@@ -12,13 +12,17 @@ CompositeGenerator (coarsest scale, `netG0`):
 
 CompositeLocalGenerator (finer scales, `netG1..`):
   single-downsample trunks; the coarser scale's pre-head features are *added*
-  to the trunk output before the residual/upsample stages; flow magnitude
+  to the trunk outputs before the residual/upsample stages; flow magnitude
   scales as 20·2^scale.
 
-Architecture notes vs the reference: identical math, but NHWC, fused
-warp+blend, and module names that make the checkpoint mapping explicit
-(down_seg/down_img/res_img/up_img/final_img/res_flow/up_flow/final_flow/
-final_w/fg_*).
+TPU-native structure (identical math to the reference, reassociated only):
+full-resolution 7x7 convolutions dominate the frame cost on TPU (~20 ms
+each at 2048x1024 regardless of channel width), so the three input stems
+(seg trunk, image trunk, fg trunk) run as ONE fused conv over the
+concatenated inputs with a block kernel, and the three output heads
+(raw image, flow+weight, fg image) as another — zero cross-blocks
+contribute nothing, and per-branch kernels remain separate parameters so
+checkpoint import is a pure rearrangement (see utils/torch_import.py).
 """
 
 from __future__ import annotations
@@ -29,14 +33,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from vid2vid_tpu.nn.blocks import (
-    ConvHead,
-    ConvStem,
-    DownBlock,
-    ResnetBlock,
-    TanhHead,
-    UpBlock,
-)
+from vid2vid_tpu.nn.blocks import DownBlock, ResnetBlock, UpBlock
+from vid2vid_tpu.nn.layers import Norm, conv_kernel_init, reflect_pad
 from vid2vid_tpu.ops.warp import flow_warp
 
 
@@ -58,8 +56,51 @@ def _blend(raw, prev_frame, flow, weight):
     return raw * weight + warped * (1.0 - weight)
 
 
-class _Trunk(nn.Module):
-    """Stem + n_downsampling stride-2 blocks + n_res resblocks."""
+class FusedConv7(nn.Module):
+    """N reflect-padded 7x7 convs over slices of one input, as one pass.
+
+    specs: (name, (in_start, in_end), out_ch) per branch; parameters stay
+    per-branch ("{name}_kernel"/"{name}_bias") and are assembled into a
+    block kernel at apply time, so the math and the checkpoint mapping are
+    those of N separate convolutions.
+    """
+
+    specs: tuple
+
+    @nn.compact
+    def __call__(self, x: jax.Array):
+        total_in = x.shape[-1]
+        total_out = sum(co for _, _, co in self.specs)
+        kernel = jnp.zeros((7, 7, total_in, total_out), x.dtype)
+        bias = jnp.zeros((total_out,), x.dtype)
+        off = 0
+        for name, (i0, i1), co in self.specs:
+            k = self.param(
+                f"{name}_kernel", conv_kernel_init, (7, 7, i1 - i0, co),
+                jnp.float32,
+            )
+            b = self.param(
+                f"{name}_bias", nn.initializers.zeros, (co,), jnp.float32
+            )
+            kernel = kernel.at[:, :, i0:i1, off : off + co].set(
+                k.astype(x.dtype)
+            )
+            bias = bias.at[off : off + co].set(b.astype(x.dtype))
+            off += co
+        out = jax.lax.conv_general_dilated(
+            reflect_pad(x, 3), kernel, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + bias
+        outs = []
+        off = 0
+        for _, _, co in self.specs:
+            outs.append(out[..., off : off + co])
+            off += co
+        return tuple(outs)
+
+
+class _TrunkTail(nn.Module):
+    """Post-stem trunk: norm+relu, n_downsampling stride-2 blocks, resblocks."""
 
     ngf: int
     n_downsampling: int
@@ -67,8 +108,8 @@ class _Trunk(nn.Module):
     norm: str
 
     @nn.compact
-    def __call__(self, x, train=False):
-        x = ConvStem(self.ngf, self.norm)(x, train)
+    def __call__(self, stem_out, train=False):
+        x = nn.relu(Norm(self.norm, name="stem_norm")(stem_out, train))
         for i in range(self.n_downsampling):
             x = DownBlock(self.ngf * 2 ** (i + 1), self.norm)(x, train)
         for _ in range(self.n_res):
@@ -91,6 +132,27 @@ class _UpStack(nn.Module):
         for i in range(self.n_up):
             x = UpBlock(self.ngf * 2 ** (self.n_up - 1 - i), self.norm)(x, train)
         return x
+
+
+def _stem_specs(in_nc, prev_nc, ngf, ngf_i, use_fg):
+    specs = [
+        ("down_seg", (0, in_nc), ngf),
+        ("down_img", (in_nc, in_nc + prev_nc), ngf),
+    ]
+    if use_fg:
+        specs.append(("fg", (0, in_nc), ngf_i))  # fg reads the labels block
+    return tuple(specs)
+
+
+def _head_specs(ngf, ngf_i, no_flow, use_fg):
+    specs = [("final_img", (0, ngf), 3)]
+    off = ngf
+    if not no_flow:
+        specs.append(("final_fw", (off, off + ngf), 3))
+        off += ngf
+    if use_fg:
+        specs.append(("fg_final", (off, off + ngf_i), 3))
+    return tuple(specs)
 
 
 class CompositeGenerator(nn.Module):
@@ -119,39 +181,37 @@ class CompositeGenerator(nn.Module):
     ) -> CompositeOut:
         nd, nb, ngf = self.n_downsampling, self.n_blocks, self.ngf
         n_res_down, n_res_up = nb - nb // 2, nb // 2
+        ngf_i = ngf // 2 if nd > 2 else ngf
+        in_nc = labels.shape[-1]
 
-        d = _Trunk(ngf, nd, n_res_down, self.norm, name="down_seg")(labels, train)
-        d = d + _Trunk(ngf, nd, n_res_down, self.norm, name="down_img")(
-            prev_frames, train
+        stems = FusedConv7(
+            _stem_specs(in_nc, prev_frames.shape[-1], ngf, ngf_i, self.use_fg),
+            name="stems",
+        )(jnp.concatenate([labels, prev_frames], -1))
+        seg0, img0 = stems[0], stems[1]
+
+        d = _TrunkTail(ngf, nd, n_res_down, self.norm, name="down_seg")(
+            seg0, train
+        ) + _TrunkTail(ngf, nd, n_res_down, self.norm, name="down_img")(
+            img0, train
         )
 
         img_feat = _UpStack(ngf, nd, n_res_up, self.norm, name="up_img")(d, train)
-        img_raw = TanhHead(self.output_nc, name="final_img")(img_feat)
-
-        flow = weight = flow_feat = None
+        flow_feat = None
         if not self.no_flow:
             flow_feat = _UpStack(ngf, nd, n_res_up, self.norm, name="up_flow")(
                 d, train
             )
-            flow = ConvHead(2, name="final_flow")(flow_feat) * 20.0
-            weight = ConvHead(1, sigmoid=True, name="final_w")(flow_feat)
-
-        if use_raw_only or self.no_flow:
-            img_final = img_raw
-        else:
-            img_final = _blend(img_raw, prev_frames[..., -3:], flow, weight)
-
         fg_feat = None
         if self.use_fg:
-            ngf_i = ngf // 2 if nd > 2 else ngf
-            h = _Trunk(ngf_i, nd, nb, self.norm, name="fg_down")(labels, train)
+            h = _TrunkTail(ngf_i, nd, nb, self.norm, name="fg_down")(
+                stems[2], train
+            )
             fg_feat = _UpStack(ngf_i, nd, 0, self.norm, name="fg_up")(h, train)
-            img_fg = TanhHead(self.output_nc, name="fg_final")(fg_feat)
-            img_final = img_fg * mask + img_final * (1.0 - mask)
-            img_raw = img_fg * mask + img_raw * (1.0 - mask)
 
-        return CompositeOut(
-            img_final, flow, weight, img_raw, img_feat, flow_feat, fg_feat
+        return _compose(
+            self, labels, prev_frames, mask, use_raw_only,
+            img_feat, flow_feat, fg_feat, 20.0,
         )
 
 
@@ -182,39 +242,77 @@ class CompositeLocalGenerator(nn.Module):
         train: bool = False,
     ) -> CompositeOut:
         ngf, nbl = self.ngf, self.n_blocks_local
+        ngf_i = ngf // 2 if self.n_downsample_g > 2 else ngf
+        in_nc = labels.shape[-1]
 
-        d = _Trunk(ngf, 1, 0, self.norm, name="down_seg")(labels, train)
-        d = d + _Trunk(ngf, 1, 0, self.norm, name="down_img")(prev_frames, train)
+        stems = FusedConv7(
+            _stem_specs(in_nc, prev_frames.shape[-1], ngf, ngf_i, self.use_fg),
+            name="stems",
+        )(jnp.concatenate([labels, prev_frames], -1))
+
+        d = _TrunkTail(ngf, 1, 0, self.norm, name="down_seg")(
+            stems[0], train
+        ) + _TrunkTail(ngf, 1, 0, self.norm, name="down_img")(stems[1], train)
 
         img_feat = _UpStack(ngf, 1, nbl, self.norm, name="up_img")(
             d + coarse.img_feat, train
         )
-        img_raw = TanhHead(self.output_nc, name="final_img")(img_feat)
-
-        flow = weight = flow_feat = None
+        flow_feat = None
         if not self.no_flow:
             flow_feat = _UpStack(ngf, 1, nbl, self.norm, name="up_flow")(
                 d + coarse.flow_feat, train
             )
-            flow = ConvHead(2, name="final_flow")(flow_feat) * (20.0 * 2**self.scale)
-            weight = ConvHead(1, sigmoid=True, name="final_w")(flow_feat)
-
-        if use_raw_only or self.no_flow:
-            img_final = img_raw
-        else:
-            img_final = _blend(img_raw, prev_frames[..., -3:], flow, weight)
-
         fg_feat = None
         if self.use_fg:
-            ngf_i = ngf // 2 if self.n_downsample_g > 2 else ngf
-            h = _Trunk(ngf_i, 1, 0, self.norm, name="fg_down")(labels, train)
+            h = _TrunkTail(ngf_i, 1, 0, self.norm, name="fg_down")(
+                stems[2], train
+            )
             fg_feat = _UpStack(ngf_i, 1, nbl, self.norm, name="fg_up")(
                 h + coarse.fg_feat, train
             )
-            img_fg = TanhHead(self.output_nc, name="fg_final")(fg_feat)
-            img_final = img_fg * mask + img_final * (1.0 - mask)
-            img_raw = img_fg * mask + img_raw * (1.0 - mask)
 
-        return CompositeOut(
-            img_final, flow, weight, img_raw, img_feat, flow_feat, fg_feat
+        return _compose(
+            self, labels, prev_frames, mask, use_raw_only,
+            img_feat, flow_feat, fg_feat, 20.0 * 2**self.scale,
         )
+
+
+def _compose(
+    module, labels, prev_frames, mask, use_raw_only,
+    img_feat, flow_feat, fg_feat, flow_multiplier,
+) -> CompositeOut:
+    """Fused output heads + temporal blend + fg alpha composite."""
+    ngf = img_feat.shape[-1]
+    ngf_i = fg_feat.shape[-1] if fg_feat is not None else 0
+    feats = [img_feat]
+    if flow_feat is not None:
+        feats.append(flow_feat)
+    if fg_feat is not None:
+        feats.append(fg_feat)
+    heads = FusedConv7(
+        _head_specs(ngf, ngf_i, module.no_flow, module.use_fg), name="heads"
+    )(jnp.concatenate(feats, -1))
+
+    idx = 0
+    img_raw = nn.tanh(heads[idx])
+    idx += 1
+    flow = weight = None
+    if not module.no_flow:
+        fw = heads[idx]
+        idx += 1
+        flow = fw[..., :2] * flow_multiplier
+        weight = nn.sigmoid(fw[..., 2:3])
+
+    if use_raw_only or module.no_flow:
+        img_final = img_raw
+    else:
+        img_final = _blend(img_raw, prev_frames[..., -3:], flow, weight)
+
+    if module.use_fg:
+        img_fg = nn.tanh(heads[idx])
+        img_final = img_fg * mask + img_final * (1.0 - mask)
+        img_raw = img_fg * mask + img_raw * (1.0 - mask)
+
+    return CompositeOut(
+        img_final, flow, weight, img_raw, img_feat, flow_feat, fg_feat
+    )

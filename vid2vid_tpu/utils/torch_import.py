@@ -113,6 +113,56 @@ def _head(tkey: str, fpath: tuple) -> Iterator[Triple]:
 # --------------------------------------------------------------- composite
 
 
+def _fused_stem(use_fg: bool) -> list[Triple]:
+    """Stem convs fused into the block conv `stems` (per-branch params)."""
+    out: list[Triple] = []
+    for tname, fname in [("model_down_seg", "down_seg"), ("model_down_img", "down_img")] + (
+        [("indv_down", "fg")] if use_fg else []
+    ):
+        out.append((f"{tname}.1.weight", ("params", "stems", f"{fname}_kernel"), "conv"))
+        out.append((f"{tname}.1.bias", ("params", "stems", f"{fname}_bias"), "copy"))
+    return out
+
+
+def _trunk_tail(
+    tkey: str, fpath: tuple, n_down: int, n_res: int, norm: str
+) -> list[Triple]:
+    """Post-stem trunk: stem norm at torch index 2, downs, resblocks."""
+    out: list[Triple] = list(_norm(f"{tkey}.2", (*fpath, "stem_norm"), norm))
+    for i in range(n_down):
+        base = 4 + 3 * i
+        out += _conv(f"{tkey}.{base}", (*fpath, f"DownBlock_{i}", "Conv_0"))
+        out += _norm(f"{tkey}.{base + 1}", (*fpath, f"DownBlock_{i}", "Norm_0"), norm)
+    res_base = 4 + 3 * n_down
+    for k in range(n_res):
+        out += _resblock(f"{tkey}.{res_base + k}", (*fpath, f"ResnetBlock_{k}"), norm)
+    return out
+
+
+def _fused_heads(use_fg: bool, no_flow: bool) -> list[Triple]:
+    out: list[Triple] = [
+        ("model_final_img.1.weight", ("params", "heads", "final_img_kernel"), "conv"),
+        ("model_final_img.1.bias", ("params", "heads", "final_img_bias"), "copy"),
+    ]
+    if not no_flow:
+        out += [
+            (
+                ("model_final_flow.1.weight", "model_final_w.1.weight"),
+                ("params", "heads", "final_fw_kernel"), "concat_conv",
+            ),
+            (
+                ("model_final_flow.1.bias", "model_final_w.1.bias"),
+                ("params", "heads", "final_fw_bias"), "concat_copy",
+            ),
+        ]
+    if use_fg:
+        out += [
+            ("indv_final.1.weight", ("params", "heads", "fg_final_kernel"), "conv"),
+            ("indv_final.1.bias", ("params", "heads", "fg_final_bias"), "copy"),
+        ]
+    return out
+
+
 def composite_generator_mapping(
     n_downsampling: int = 3,
     n_blocks: int = 9,
@@ -123,35 +173,28 @@ def composite_generator_mapping(
     """CompositeGenerator (reference: models/networks.py:117-232)."""
     n_res_down = n_blocks - n_blocks // 2
     n_res_up = n_blocks // 2
-    out: list[Triple] = []
-    for trunk in ("down_seg", "down_img"):
-        out += _trunk(f"model_{trunk}", (trunk,), n_downsampling, n_res_down, norm)
+    out: list[Triple] = _fused_stem(use_fg)
+    out += _trunk_tail("model_down_seg", ("down_seg",), n_downsampling, n_res_down, norm)
+    out += _trunk_tail("model_down_img", ("down_img",), n_downsampling, n_res_down, norm)
     # torch splits res and up into model_res_img + model_up_img; ours is one
     # _UpStack named up_img
     for k in range(n_res_up):
         out += _resblock(f"model_res_img.{k}", ("up_img", f"ResnetBlock_{k}"), norm)
     out += _upstack_res("model_up_img", ("up_img",), 0, n_downsampling, norm)
-    # shift our UpBlock indices: _upstack_res above emitted UpBlock_0.. but
-    # ResnetBlocks were emitted separately — names already align.
-    out += _head("model_final_img", ("final_img",))
     if not no_flow:
         for k in range(n_res_up):
             out += _resblock(
                 f"model_res_flow.{k}", ("up_flow", f"ResnetBlock_{k}"), norm
             )
         out += _upstack_res("model_up_flow", ("up_flow",), 0, n_downsampling, norm)
-        out += _head("model_final_flow", ("final_flow",))
-        out += _head("model_final_w", ("final_w",))
     if use_fg:
         # torch splits indv_down (stem+downs) and indv_res; our fg_down
-        # trunk holds both
-        out += _trunk("indv_down", ("fg_down",), n_downsampling, 0, norm)
+        # tail holds both
+        out += _trunk_tail("indv_down", ("fg_down",), n_downsampling, 0, norm)
         for k in range(n_blocks):
-            out += _resblock(
-                f"indv_res.{k}", ("fg_down", f"ResnetBlock_{k}"), norm
-            )
+            out += _resblock(f"indv_res.{k}", ("fg_down", f"ResnetBlock_{k}"), norm)
         out += _upstack_res("indv_up", ("fg_up",), 0, n_downsampling, norm)
-        out += _head("indv_final", ("fg_final",))
+    out += _fused_heads(use_fg, no_flow)
     return out
 
 
@@ -162,19 +205,16 @@ def composite_local_mapping(
     no_flow: bool = False,
 ) -> list[Triple]:
     """CompositeLocalGenerator (reference: models/networks.py:234-325)."""
-    out: list[Triple] = []
-    for trunk in ("down_seg", "down_img"):
-        out += _trunk(f"model_{trunk}", (trunk,), 1, 0, norm)
+    out: list[Triple] = _fused_stem(use_fg)
+    out += _trunk_tail("model_down_seg", ("down_seg",), 1, 0, norm)
+    out += _trunk_tail("model_down_img", ("down_img",), 1, 0, norm)
     out += _upstack_res("model_up_img", ("up_img",), n_blocks_local, 1, norm)
-    out += _head("model_final_img", ("final_img",))
     if not no_flow:
         out += _upstack_res("model_up_flow", ("up_flow",), n_blocks_local, 1, norm)
-        out += _head("model_final_flow", ("final_flow",))
-        out += _head("model_final_w", ("final_w",))
     if use_fg:
-        out += _trunk("indv_down", ("fg_down",), 1, 0, norm)
+        out += _trunk_tail("indv_down", ("fg_down",), 1, 0, norm)
         out += _upstack_res("indv_up", ("fg_up",), n_blocks_local, 1, norm)
-        out += _head("indv_final", ("fg_final",))
+    out += _fused_heads(use_fg, no_flow)
     return out
 
 
@@ -375,10 +415,20 @@ def apply_mapping(
     tree: dict = {}
     missing = []
     for tkey, fpath, kind in mapping:
-        if tkey not in state_dict:
+        if isinstance(tkey, tuple):
+            if any(k not in state_dict for k in tkey):
+                missing.extend(k for k in tkey if k not in state_dict)
+                continue
+            base_kind = kind.split("_")[1]  # concat_conv -> conv
+            arr = np.concatenate(
+                [convert_tensor(np.asarray(state_dict[k]), base_kind) for k in tkey],
+                axis=-1,
+            )
+        elif tkey not in state_dict:
             missing.append(tkey)
             continue
-        arr = convert_tensor(np.asarray(state_dict[tkey]), kind)
+        else:
+            arr = convert_tensor(np.asarray(state_dict[tkey]), kind)
         node = tree
         for part in fpath[:-1]:
             node = node.setdefault(part, {})
