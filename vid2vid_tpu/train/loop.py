@@ -72,6 +72,24 @@ class Trainer:
         self.flow_fn = flow_fn or zero_flow_fn
         self.schedule = Schedule(opt)
         self.rng = rng if rng is not None else jax.random.key(opt.seed)
+        # jit the host-side temporal bookkeeping: each eager op is a device
+        # round trip on remote platforms; shapes recur per chunk config so
+        # the jit cache stays small
+        import functools
+
+        self._skipped_frames = jax.jit(
+            functools.partial(
+                skipped_frames, t_scales=opt.n_scales_temporal, td=opt.n_frames_D
+            )
+        )
+        self._skipped_flows = jax.jit(
+            functools.partial(
+                skipped_flows,
+                t_scales=opt.n_scales_temporal,
+                td=opt.n_frames_D,
+                flow_fn=self.flow_fn,
+            )
+        )
 
     # ------------------------------------------------------------------ setup
 
@@ -134,13 +152,13 @@ class Trainer:
         flow_ref, conf_ref = self.flow_fn(real_b_cur, real_b_prev)
 
         # --- temporal real/flow buffers + groups (host-static shapes)
-        carry.real_all, real_skipped = skipped_frames(
-            carry.real_all, real_b_cur, t_scales, td
+        carry.real_all, real_skipped = self._skipped_frames(
+            carry.real_all, real_b_cur
         )
-        carry.flow_all, carry.conf_all, flow_skipped, conf_skipped = skipped_flows(
-            carry.flow_all, carry.conf_all, flow_ref, conf_ref,
-            real_skipped, t_scales, td,
-            flow_fn=self.flow_fn,
+        carry.flow_all, carry.conf_all, flow_skipped, conf_skipped = (
+            self._skipped_flows(
+                carry.flow_all, carry.conf_all, flow_ref, conf_ref, real_skipped
+            )
         )
 
         # --- G step
