@@ -174,3 +174,24 @@ class TestPoseUnits:
         )
         assert (out[0, 0] == 0).all()
         assert (out[1, 1] == [10, 10, 5]).all()
+
+
+class TestPoseNormalizer:
+    def test_retarget_scales_torso(self):
+        from vid2vid_tpu.data.pose import PoseNormalizer
+
+        iuv = np.zeros((64, 64, 3), np.uint8)
+        # torso spanning rows 20..40 with V from 64 to 192 (0.25..0.75)
+        for y in range(20, 41):
+            v = int(64 + (y - 20) / 20 * 128)
+            iuv[y, 28:36] = (10, v, 1)
+        # measured body height is 40 (torso 20px spanning V 0.25..0.75);
+        # targeting 80 doubles the framing
+        norm = PoseNormalizer(target_yc=32, target_len=80)
+        norm.fit(iuv)
+        out = norm(iuv)
+        assert out.shape == iuv.shape
+        ys = np.nonzero(out[:, :, 2] == 1)[0]
+        assert len(ys) > 0
+        span = ys.max() - ys.min()
+        assert 30 <= span <= 55, span

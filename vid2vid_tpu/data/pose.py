@@ -48,6 +48,54 @@ def densepose_dropout(
     return out
 
 
+class PoseNormalizer:
+    """Test-time pose retargeting (reference: pose_dataset.py:100-132).
+
+    On the first frame, measures the torso span from the DensePose V channel
+    (parts 1|2), derives a scale ratio and offsets against a target center/
+    height, then applies the same pad+crop+resize to every frame so the
+    driving pose matches the training subject's framing.
+    """
+
+    def __init__(self, target_yc: float, target_len: float):
+        self.target_yc = target_yc
+        self.target_len = target_len
+        self._params = None
+
+    def fit(self, iuv: np.ndarray) -> None:
+        """iuv: (H, W, 3) uint8 DensePose render of the first frame."""
+        h, w = iuv.shape[:2]
+        parts = iuv[:, :, 2]
+        ys, xs = np.nonzero((parts == 1) | (parts == 2))
+        if len(ys) == 0:
+            self._params = (0, 0, 1.0, 0)
+            return
+        y_min, y_max = ys.min(), ys.max()
+        i_min, i_max = np.argmin(ys), np.argmax(ys)
+        v_min = iuv[ys[i_min], xs[i_min], 1] / 255.0
+        v_max = iuv[ys[i_max], xs[i_max], 1] / 255.0
+        denom = max(v_max - v_min, 1e-3)
+        ylen = (y_max - y_min) / denom
+        yc = (0.5 - v_min) / denom * (y_max - y_min) + y_min
+
+        ratio = self.target_len / max(ylen, 1e-3)
+        offset_y = int(yc - self.target_yc / ratio)
+        offset_x = int(w * (1 - 1 / ratio) / 2)
+        padding = int(max(0, max(-offset_y, int(offset_y + h / ratio) - h)))
+        padding = int(max(padding, max(-offset_x, int(offset_x + w / ratio) - w)))
+        self._params = (offset_y + padding, offset_x + padding, ratio, padding)
+
+    def __call__(self, img: np.ndarray) -> np.ndarray:
+        """Apply the fitted pad+crop+resize to an (H, W, C) frame."""
+        assert self._params is not None, "call fit() on the first frame"
+        oy, ox, ratio, p = self._params
+        h, w = img.shape[:2]
+        padded = np.pad(img, ((p, p), (p, p), (0, 0)))
+        crop = padded[oy : int(oy + h / ratio), ox : int(ox + w / ratio)]
+        out = Image.fromarray(crop).resize((w, h))
+        return np.asarray(out)
+
+
 class PoseDataset:
     def __init__(self, opt):
         self.opt = opt

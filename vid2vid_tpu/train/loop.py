@@ -27,7 +27,11 @@ import numpy as np
 from vid2vid_tpu.config import Options
 from vid2vid_tpu.models.generator import Vid2VidGenerator
 from vid2vid_tpu.models.loss_engine import LossEngine
-from vid2vid_tpu.models.temporal import skipped_flows, skipped_frames
+from vid2vid_tpu.models.temporal import (
+    skipped_flows,
+    skipped_frames,
+    skipped_frames_sparse,
+)
 from vid2vid_tpu.train.state import (
     Schedule,
     TrainState,
@@ -130,6 +134,8 @@ class Trainer:
         t_scales = opt.n_scales_temporal
         td = opt.n_frames_D
         first_chunk = carry.gen_state is None
+        if opt.sparse_D and carry.fake_buf is None:
+            carry.fake_buf = (None,) * t_scales
 
         enc_a = self.gen.encode_input(labels, inst)
         b, t_len, h, w = real_b.shape[:4]
@@ -152,14 +158,30 @@ class Trainer:
         flow_ref, conf_ref = self.flow_fn(real_b_cur, real_b_prev)
 
         # --- temporal real/flow buffers + groups (host-static shapes)
-        carry.real_all, real_skipped = self._skipped_frames(
-            carry.real_all, real_b_cur
-        )
-        carry.flow_all, carry.conf_all, flow_skipped, conf_skipped = (
-            self._skipped_flows(
-                carry.flow_all, carry.conf_all, flow_ref, conf_ref, real_skipped
+        if opt.sparse_D:
+            if carry.real_all is None:
+                carry.real_all = [None] * t_scales
+                carry.flow_all = [None] * t_scales
+                carry.conf_all = [None] * t_scales
+            i0 = carry.chunk_start
+            carry.real_all, real_skipped = skipped_frames_sparse(
+                carry.real_all, real_b_cur, t_scales, td, n_load, i0
             )
-        )
+            carry.flow_all, flow_skipped = skipped_frames_sparse(
+                carry.flow_all, flow_ref, t_scales, td, n_load, i0, is_flow=True
+            )
+            carry.conf_all, conf_skipped = skipped_frames_sparse(
+                carry.conf_all, conf_ref, t_scales, td, n_load, i0, is_flow=True
+            )
+        else:
+            carry.real_all, real_skipped = self._skipped_frames(
+                carry.real_all, real_b_cur
+            )
+            carry.flow_all, carry.conf_all, flow_skipped, conf_skipped = (
+                self._skipped_flows(
+                    carry.flow_all, carry.conf_all, flow_ref, conf_ref, real_skipped
+                )
+            )
 
         # --- G step
         state, loss_g, aux = self.g_step(
@@ -170,6 +192,7 @@ class Trainer:
             n_frames_bp=self.schedule.n_frames_bp,
             finetune_all=self.schedule.finetune_all,
             first_chunk=first_chunk,
+            chunk_start=carry.chunk_start,
         )
         outs = aux["outs"]
         self.last_outs = outs  # for visualization (device arrays, lazy)

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from vid2vid_tpu.models.generator import Vid2VidGenerator
 from vid2vid_tpu.models.loss_engine import LossEngine
-from vid2vid_tpu.models.temporal import skipped_frames
+from vid2vid_tpu.models.temporal import skipped_frames, skipped_frames_sparse
 from vid2vid_tpu.train.state import TrainState
 
 
@@ -47,6 +47,7 @@ def make_g_step(gen: Vid2VidGenerator, engine: LossEngine, opt, g_tx):
         jax.jit,
         static_argnames=(
             "use_raw_only", "n_frames_bp", "finetune_all", "first_chunk",
+            "chunk_start",
         ),
     )
     def g_step(
@@ -65,6 +66,7 @@ def make_g_step(gen: Vid2VidGenerator, engine: LossEngine, opt, g_tx):
         n_frames_bp: int,
         finetune_all: bool,
         first_chunk: bool,
+        chunk_start: int = 0,
     ):
         def loss_fn(gparams):
             if opt.bf16 or opt.fp16:
@@ -112,9 +114,16 @@ def make_g_step(gen: Vid2VidGenerator, engine: LossEngine, opt, g_tx):
                 _flat(flow_ref),
                 _flat(conf_ref),
             )
-            new_fake_buf, fake_skipped = skipped_frames(
-                fake_buf, outs.fake, t_scales, td
-            )
+            if opt.sparse_D:
+                n_load = enc_a.shape[1] - tG + 1
+                new_fake_buf, fake_skipped = skipped_frames_sparse(
+                    list(fake_buf), outs.fake, t_scales, td, n_load, chunk_start
+                )
+                new_fake_buf = tuple(new_fake_buf)
+            else:
+                new_fake_buf, fake_skipped = skipped_frames(
+                    fake_buf, outs.fake, t_scales, td
+                )
             t_losses = []
             for s in range(t_scales):
                 if real_skipped[s] is None or fake_skipped[s] is None:
