@@ -28,7 +28,7 @@ def main():
 
     height = int(os.environ.get("BENCH_H", 1024))
     width = int(os.environ.get("BENCH_W", 2048))
-    frames = int(os.environ.get("BENCH_FRAMES", 6))
+    frames = int(os.environ.get("BENCH_FRAMES", 12))
     opt = Options(
         label_nc=35,
         use_instance=True,

@@ -20,8 +20,6 @@ N(1, 0.02) norm scales; reference: models/networks.py:15-21).
 
 from __future__ import annotations
 
-from collections.abc import Callable, Sequence
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,6 @@ align_corners=False (half-pixel centers) — matching jax.image.resize's
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 
 def resize_bilinear(x: jax.Array, height: int, width: int) -> jax.Array:

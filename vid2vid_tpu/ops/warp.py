@@ -22,8 +22,6 @@ channel order (flow[:,0:1] / width, flow[:,1:2] / height).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

@@ -140,7 +140,6 @@ def _dump_visuals(opt, trainer, visualizer, epoch, step):
 def _build_flow_fn(opt):
     """FlowNet2-based reference flow, or zero-flow fallback without weights."""
     from vid2vid_tpu.models.flownet2 import FlowEstimator
-    from vid2vid_tpu.train.loop import zero_flow_fn
 
     weights_path = os.path.join(opt.checkpoints_dir, "flownet2", "params")
     est = FlowEstimator()
