@@ -128,3 +128,27 @@ class TestSchedule:
         state = trainer.end_of_epoch(state)
         lr = state.opt_g.hyperparams["learning_rate"]
         assert float(lr) == pytest.approx(opt.lr * 0.5)
+
+
+class TestStatsRefresh:
+    def test_refresh_updates_running_stats(self):
+        import jax.numpy as jnp
+
+        from vid2vid_tpu.data.synthetic import SyntheticVideoDataset
+        from vid2vid_tpu.train.loop import Trainer, refresh_batch_stats
+
+        opt = tiny_opt()
+        trainer = Trainer(opt)
+        state = trainer.init_state(32, 32)
+        ds = SyntheticVideoDataset(opt, height=32, width=32)
+
+        def clips():
+            for _ in range(2):
+                labels, imgs = ds.clip(4)
+                yield jnp.asarray(labels), jnp.asarray(imgs), None
+
+        before = jax.tree.leaves(state.gparams["G0"]["batch_stats"])
+        new_state = refresh_batch_stats(trainer, state, clips(), n_batches=2)
+        after = jax.tree.leaves(new_state.gparams["G0"]["batch_stats"])
+        deltas = [float(jnp.abs(a - b).max()) for a, b in zip(after, before)]
+        assert max(deltas) > 0

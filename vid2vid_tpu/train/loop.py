@@ -261,3 +261,73 @@ class Trainer:
             state = reinit_g_optimizer(state, self.opt)
         state = set_learning_rate(state, self.opt, self.schedule.lr_factor())
         return state
+
+
+def refresh_batch_stats(
+    trainer: Trainer, state: TrainState, clips, n_batches: int = 8
+):
+    """Recalibrate generator norm running statistics for eval.
+
+    GAN training here runs with per-batch norm stats and does not update the
+    running buffers inside the jitted steps; imported torch checkpoints carry
+    their own stats, but a model trained from scratch needs this pass before
+    eval-mode inference: run the generator forward in train mode with the
+    batch_stats collection mutable over a few clips.
+
+    Args:
+      clips: iterable of (labels, real_b, inst) arrays as in train_clip.
+    Returns: TrainState with refreshed gparams batch_stats.
+    """
+    gen = trainer.gen
+    tG = trainer.opt.n_frames_G
+
+    @jax.jit
+    def refresh(gparams, enc, gen_state):
+        def run(scale_key, module_idx):
+            return None
+
+        # run each scale's module with mutable batch_stats through one clip
+        new_params = dict(gparams)
+        coarse = None
+        n_scales = gen.n_scales
+        from vid2vid_tpu.models.generator import stack_time
+        from vid2vid_tpu.ops.pool import build_pyramid_video
+        from vid2vid_tpu.ops.encode import fg_mask_from_onehot
+
+        a_pyr = build_pyramid_video(enc, n_scales)
+        for s in range(n_scales):
+            si = n_scales - 1 - s
+            lab = stack_time(a_pyr[si][:, :tG])
+            prev = stack_time(gen_state[si])
+            mask = (
+                fg_mask_from_onehot(a_pyr[si][:, tG - 1], trainer.opt.fg_labels)
+                if trainer.opt.fg
+                else None
+            )
+            if s == 0:
+                out, updates = gen.scales[0].apply(
+                    gparams["G0"], lab, prev, mask, False, True,
+                    mutable=["batch_stats"],
+                )
+            else:
+                out, updates = gen.scales[s].apply(
+                    gparams[f"G{s}"], lab, prev, coarse, mask, False, True,
+                    mutable=["batch_stats"],
+                )
+            coarse = out
+            merged = dict(gparams[f"G{s}"])
+            merged["batch_stats"] = updates["batch_stats"]
+            new_params[f"G{s}"] = merged
+        return new_params
+
+    gparams = state.gparams
+    count = 0
+    for labels, real_b, inst in clips:
+        if count >= n_batches:
+            break
+        enc = gen.encode_input(labels, inst)
+        b, _, h, w = real_b.shape[:4]
+        gen_state = gen.state_from_frames(real_b[:, : tG - 1])
+        gparams = refresh(gparams, enc, gen_state)
+        count += 1
+    return state.replace(gparams=gparams)
