@@ -171,7 +171,7 @@ class Options:
 _CSV_FIELDS = {"fg_labels", "gpu_ids"}
 _TRAIN_ONLY = {
     "display_freq", "print_freq", "save_latest_freq", "save_epoch_freq",
-    "continue_train", "phase", "niter", "niter_decay", "niter_step",
+    "continue_train", "niter", "niter_decay", "niter_step",
     "niter_fix_global", "beta1", "lr", "TTUR", "gan_mode", "pool_size",
     "num_D", "n_layers_D", "no_vgg", "no_ganFeat", "lambda_feat", "sparse_D",
     "lambda_T", "lambda_F", "n_frames_D", "n_scales_temporal",
