@@ -232,3 +232,37 @@ class FaceDataset:
             "A_path": kp_paths[start],
             "seq": seq,
         }
+
+
+class FaceTestStream:
+    """Streaming test feed for the face dataset: one frame at a time with
+    per-sequence crop state and change_seq flags (mirrors the reference's
+    update_frame_idx streaming, reference: face_dataset.py:29-64)."""
+
+    def __init__(self, opt):
+        self.opt = opt
+        self.ds = FaceDataset(opt.replace(isTrain=False) if opt.isTrain else opt)
+
+    def __iter__(self):
+        opt = self.ds.opt
+        for seq in range(self.ds.n_of_seqs):
+            kp_paths = self.ds.a_paths[seq]
+            img_paths = self.ds.b_paths[seq]
+            with Image.open(img_paths[0]) as probe:
+                size = probe.size
+            points0 = np.loadtxt(kp_paths[0], delimiter=",")
+            self.ds._crop_box = face_crop_box(points0, size)
+            y0, y1, x0, x1 = self.ds._crop_box
+            params = get_img_params(opt, (x1 - x0, y1 - y0))
+            for idx in range(len(kp_paths)):
+                a, b, label = self.ds._build_frame(
+                    kp_paths[idx], img_paths[idx], opt, params, size
+                )
+                yield {
+                    "A": a,
+                    "B": b,
+                    "inst": label,
+                    "change_seq": idx == 0,
+                    "path": kp_paths[idx],
+                    "seq": seq,
+                }

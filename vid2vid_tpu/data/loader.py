@@ -39,6 +39,23 @@ def create_dataset(opt):
     raise ValueError(f"unknown dataset_mode {mode!r}")
 
 
+def create_test_stream(opt):
+    """Streaming per-frame test feed for any dataset mode."""
+    if opt.dataset_mode in ("temporal", "test"):
+        from vid2vid_tpu.data.temporal import TestTemporalStream
+
+        return TestTemporalStream(opt)
+    if opt.dataset_mode == "face":
+        from vid2vid_tpu.data.face import FaceTestStream
+
+        return FaceTestStream(opt)
+    if opt.dataset_mode == "pose":
+        from vid2vid_tpu.data.pose import PoseTestStream
+
+        return PoseTestStream(opt)
+    raise ValueError(f"no test stream for dataset_mode {opt.dataset_mode!r}")
+
+
 class PrefetchLoader:
     """Index-sampling loader with background prefetch threads.
 

@@ -191,3 +191,37 @@ class PoseDataset:
             "A_path": img_paths[start],
             "seq": seq,
         }
+
+
+class PoseTestStream:
+    """Streaming test feed for the pose dataset (per-frame, change_seq)."""
+
+    def __init__(self, opt):
+        self.opt = opt if not opt.isTrain else opt.replace(isTrain=False)
+        self.ds = PoseDataset(self.opt)
+
+    def __iter__(self):
+        opt = self.opt
+        for seq in range(self.ds.n_of_seqs):
+            img_paths = self.ds.img_paths[seq]
+            with Image.open(img_paths[0]) as probe:
+                size = probe.size
+            from vid2vid_tpu.data.transforms import get_img_params
+
+            params = get_img_params(opt, size)
+            for idx in range(len(img_paths)):
+                a = self.ds._load_conditioning(seq, idx, size, params)
+                img = Image.open(img_paths[idx]).convert("RGB")
+                from vid2vid_tpu.data.transforms import apply_transform
+
+                b = np.asarray(
+                    apply_transform(img, opt, params, Image.BICUBIC), np.float32
+                ) / 255.0 * 2.0 - 1.0
+                yield {
+                    "A": central_crop(a),
+                    "B": central_crop(b),
+                    "inst": None,
+                    "change_seq": idx == 0,
+                    "path": img_paths[idx],
+                    "seq": seq,
+                }

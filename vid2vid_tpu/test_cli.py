@@ -19,7 +19,7 @@ import numpy as np
 
 def main(argv=None):
     from vid2vid_tpu.config import parse_args
-    from vid2vid_tpu.data.loader import create_dataset
+    from vid2vid_tpu.data.loader import create_test_stream
     from vid2vid_tpu.models.inference import InferenceEngine
     from vid2vid_tpu.train.checkpoints import checkpoint_exists, restore_params
     from vid2vid_tpu.utils.images import label_to_color, to_image
@@ -39,7 +39,7 @@ def main(argv=None):
     )
     os.makedirs(save_dir, exist_ok=True)
 
-    stream = create_dataset(opt)
+    stream = create_test_stream(opt)
     params = None
     state = None
     window = []  # rolling tG-frame label window
