@@ -255,3 +255,50 @@ class TestLossEngine:
         )
         assert float(losses["F_Flow"]) == 0.0
         assert float(losses["G_VGG"]) == 0.0
+
+
+class TestFaceDiscriminator:
+    def _engine(self):
+        opt = small_engine_opt(
+            add_face_disc=True, label_nc=0, input_nc=3, fineSize=32, num_D=2
+        )
+        eng = LossEngine(opt)
+        params = eng.init(jax.random.key(0), 32, 32)
+        return eng, params
+
+    def test_face_region_found(self, rng):
+        eng, params = self._engine()
+        real_a = jnp.zeros((1, 32, 32, 3)).at[:, 10:20, 12:22, 2].set(1.0)
+        found, y0, x0 = eng.face_region(real_a)
+        assert bool(found)
+        # 8x8 crop centered near (15, 17), clamped to valid range
+        assert 0 <= int(y0) <= 24 and 0 <= int(x0) <= 24
+
+    def test_face_losses_zero_when_absent(self, rng):
+        eng, params = self._engine()
+        f32 = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32))
+        real_a = jnp.full((2, 32, 32, 3), -1.0)  # no face signal
+        losses = eng.discriminator_losses(
+            params, real_a, f32(2, 32, 32, 3), f32(2, 32, 32, 3), None
+        )
+        assert float(losses["D_f_real"]) == 0.0
+        assert float(losses["D_f_fake"]) == 0.0
+
+    def test_face_losses_active_and_graded(self, rng):
+        eng, params = self._engine()
+        f32 = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32))
+        real_a = jnp.zeros((2, 32, 32, 3)).at[:, 8:24, 8:24, 2].set(1.0)
+        real_b = f32(2, 32, 32, 3)
+        fake_b = f32(2, 32, 32, 3)
+
+        def g_total(fb):
+            losses = eng.generator_losses(
+                params, real_a, real_b, fb, None, real_b, real_b,
+                None, None, f32(2, 32, 32, 2), jnp.ones((2, 32, 32, 1)),
+            )
+            return losses["G_f_GAN"] + losses["G_f_GAN_Feat"]
+
+        val = float(g_total(fake_b))
+        assert np.isfinite(val) and val != 0.0
+        grad = jax.grad(g_total)(fake_b)
+        assert np.abs(np.asarray(grad)).max() > 0
