@@ -167,3 +167,56 @@ class TestGenerateClip:
         fn = jax.jit(lambda p, e, s: gen.generate_clip(p, e, s))
         outs, _ = fn(params, enc, state)
         assert outs.fake.shape == (b, 3, h, w, 3)
+
+
+class TestScanMatchesEagerOracle:
+    def test_scan_equals_python_loop(self, rng):
+        """The lax.scan orchestration must equal an independent eager
+        frame-by-frame loop implementing the reference's ordering
+        (reference: models/vid2vid_model_G.py:139-196)."""
+        from vid2vid_tpu.ops.encode import fg_mask_from_onehot
+        from vid2vid_tpu.ops.pool import build_pyramid_video
+
+        opt = small_opt(n_scales_spatial=2, fg=True, fg_labels=(1,),
+                        n_downsample_G=3)
+        gen = Vid2VidGenerator(opt)
+        b, t, h, w = 1, 3, 32, 32
+        params = gen.init(jax.random.key(0), b, h, w)
+        labels = jnp.asarray(rng.integers(0, 6, (b, t + 2, h, w)), jnp.int32)
+        enc = gen.encode_input(labels)
+        state = gen.zero_state(b, h, w)
+
+        outs, _ = gen.generate_clip(params, enc, state)
+
+        # eager oracle with its own buffer bookkeeping
+        tG, nS = 3, 2
+        a_pyr = build_pyramid_video(enc, nS)
+        bufs = [list(jnp.split(s, tG - 1, axis=1)) for s in state]
+        fakes = []
+        for ti in range(t):
+            coarse = None
+            for s in range(nS):
+                si = nS - 1 - s
+                win = a_pyr[si][:, ti : ti + tG]
+                hh, ww = win.shape[2], win.shape[3]
+                lab = jnp.transpose(win, (0, 2, 3, 1, 4)).reshape(b, hh, ww, -1)
+                prev = jnp.concatenate(
+                    [f[:, 0] for f in bufs[si]], axis=-1
+                )
+                mask = fg_mask_from_onehot(win[:, tG - 1], opt.fg_labels)
+                if s == 0:
+                    out = gen.scales[0].apply(
+                        params["G0"], lab, prev, mask, False, False
+                    )
+                else:
+                    out = gen.scales[1].apply(
+                        params["G1"], lab, prev, coarse, mask, False, False
+                    )
+                coarse = out
+                bufs[si] = bufs[si][1:] + [out.img_final[:, None]]
+            fakes.append(out.img_final)
+
+        oracle = jnp.stack(fakes, axis=1)
+        np.testing.assert_allclose(
+            np.asarray(outs.fake), np.asarray(oracle), atol=2e-5
+        )
