@@ -56,6 +56,85 @@ class TestMesh:
         )
 
 
+class TestMeshTraining:
+    """--n_devices wiring in the real Trainer/CLI path (VERDICT round-1 #2)."""
+
+    def _opt(self, **kw):
+        base = dict(
+            label_nc=2, ngf=8, ndf=8, n_downsample_G=2, n_blocks=2,
+            n_scales_spatial=1, num_D=1, n_layers_D=2, n_frames_D=3,
+            n_scales_temporal=1, n_frames_total=4, max_frames_per_gpu=2,
+            no_vgg=True, norm="batch", fineSize=32, batchSize=2,
+        )
+        base.update(kw)
+        return Options(**base)
+
+    def test_trainer_mesh_matches_single_device(self):
+        from vid2vid_tpu.data.synthetic import SyntheticVideoDataset
+        from vid2vid_tpu.train.loop import Trainer
+
+        def run(n_devices):
+            opt = self._opt(n_devices=n_devices)
+            trainer = Trainer(opt)
+            # pin the chunk window: more devices legitimately grow
+            # n_frames_load (reference: vid2vid_model_G.py:58-60), but this
+            # test isolates sharding numerics from chunking semantics
+            trainer.schedule.n_frames_load = 2
+            ds = SyntheticVideoDataset(opt, height=32, width=64)
+            # single chunk: losses are computed from the identical initial
+            # params on both paths (a second chunk would amplify low-order
+            # conv-reduction noise through the first Adam step, whose
+            # sign(grad)-like update is chaotic near zero)
+            l0, i0 = ds.clip(4)
+            l1, i1 = ds.clip(4)
+            labels = jnp.concatenate([jnp.asarray(l0), jnp.asarray(l1)])
+            imgs = jnp.concatenate([jnp.asarray(i0), jnp.asarray(i1)])
+            state = trainer.init_state(32, 64, batch=2)
+            _, losses = trainer.train_clip(state, labels, imgs)
+            assert trainer.schedule.n_frames_load == 2  # single chunk
+            return trainer, losses
+
+        t1, ref = run(1)
+        assert t1.mesh is None
+        t8, sharded = run(8)
+        assert t8.mesh is not None
+        assert t8.mesh.shape == {"data": 2, "model": 4}
+        assert set(sharded) == set(ref)
+        for k in ref:
+            np.testing.assert_allclose(
+                sharded[k], ref[k], rtol=2e-4, atol=1e-5, err_msg=k
+            )
+
+    def test_train_cli_end_to_end_with_mesh(self, tmp_path):
+        """train_cli --n_devices 8 runs a full (tiny) epoch with sharding."""
+        from tests.test_data import write_temporal_dataset
+        from vid2vid_tpu import train_cli
+
+        write_temporal_dataset(str(tmp_path), inst=False)
+        argv = [
+            "--dataroot", str(tmp_path),
+            "--name", "mesh_smoke",
+            "--checkpoints_dir", str(tmp_path / "ckpt"),
+            "--label_nc", "5",
+            "--loadSize", "64", "--fineSize", "64",
+            "--resize_or_crop", "scaleWidth",
+            "--n_frames_total", "4", "--max_frames_per_gpu", "2",
+            "--batchSize", "2",
+            "--ngf", "8", "--ndf", "8",
+            "--n_blocks", "2", "--n_downsample_G", "2",
+            "--n_scales_spatial", "1", "--num_D", "1", "--n_layers_D", "2",
+            "--n_frames_D", "3", "--n_scales_temporal", "1",
+            "--no_vgg", "--no_flow", "--norm", "batch",
+            "--niter", "1", "--niter_decay", "0",
+            "--n_devices", "8",
+            "--print_freq", "1",
+        ]
+        state = train_cli.main(argv)
+        assert state is not None
+        log = tmp_path / "ckpt" / "mesh_smoke" / "loss_log.txt"
+        assert log.exists() and "G_GAN" in log.read_text()
+
+
 class TestSparseD:
     def test_sparse_d_training(self):
         from vid2vid_tpu.data.synthetic import SyntheticVideoDataset

@@ -101,24 +101,64 @@ class TestSchedule:
         assert s.lr_factor(15) == pytest.approx(0.5)
         assert s.lr_factor(20) == pytest.approx(0.0)
 
-    def test_curriculum_growth(self):
+    def test_curriculum_growth_reference_sequence(self):
+        # street train_512 recipe semantics: --n_frames_total 6 is the
+        # STARTING length; every niter_step epochs it becomes
+        # opt.n_frames_total * 2**(epoch//niter_step), capped at
+        # min(128, seq_len_max) - (tG - 1)  (reference:
+        # data/base_dataset.py:19-24, models/models.py:157-160)
         opt = tiny_opt(
-            niter_step=2, n_frames_total=24, max_frames_per_gpu=4,
-            max_frames_backpropagate=4,
+            niter_step=5, n_frames_total=6, n_frames_G=3,
+            max_frames_per_gpu=1, max_frames_backpropagate=1,
         )
         s = Schedule(opt)
-        start_total = s.n_frames_total
-        for _ in range(2):
+        s.seq_len_max = 1000
+        seq = [s.n_frames_total]
+        for _ in range(30):
+            ev = s.end_of_epoch()
+            if ev["grow"]:
+                seq.append(s.n_frames_total)
+        assert seq == [6, 12, 24, 48, 96, 126]  # cap = min(128,1000) - 2
+
+    def test_curriculum_capped_by_dataset_length(self):
+        opt = tiny_opt(niter_step=1, n_frames_total=6, n_frames_G=3)
+        s = Schedule(opt)
+        s.seq_len_max = 30  # short videos: cap = 30 - 2 = 28
+        for _ in range(10):
             s.end_of_epoch()
-        assert s.n_frames_total == min(start_total * 2, 24)
+        assert s.n_frames_total == 28
+
+    def test_window_and_bptt_growth(self):
+        # reference base_model.py:169-180: BPTT cadence and per-device
+        # window both grow in powers of two toward their flags
+        opt = tiny_opt(
+            niter_step=1, n_frames_total=4, n_frames_G=3,
+            max_frames_per_gpu=8, max_frames_backpropagate=4, n_devices=1,
+        )
+        s = Schedule(opt)
+        assert (s.n_frames_load, s.n_frames_bp) == (4, 1)
+        s.end_of_epoch()  # ratio 1: nfb=2 -> bp = 4//2 = 2; load 4->8
+        assert (s.n_frames_load, s.n_frames_bp) == (8, 2)
+        s.end_of_epoch()  # ratio 2: nfb=4 -> bp = 8//2 = 4; load capped
+        assert (s.n_frames_load, s.n_frames_bp) == (8, 4)
+        s.end_of_epoch()  # bp reached nfl? 4 < 8: nfb=min(4,8)=4 -> 8//2=4
+        assert (s.n_frames_load, s.n_frames_bp) == (8, 4)
 
     def test_unfreeze_event(self):
-        opt = tiny_opt(niter_fix_global=2)
+        opt = tiny_opt(niter_fix_global=2, n_scales_spatial=2)
         s = Schedule(opt)
         assert not s.finetune_all
         s.end_of_epoch()
         events = s.end_of_epoch()
         assert events["unfreeze"] and s.finetune_all
+
+    def test_no_unfreeze_with_single_scale(self):
+        # reference models.py:163 gates the unfreeze on n_scales_spatial > 1
+        opt = tiny_opt(niter_fix_global=2, n_scales_spatial=1)
+        s = Schedule(opt)
+        s.end_of_epoch()
+        events = s.end_of_epoch()
+        assert not events["unfreeze"]
 
     def test_end_of_epoch_updates_lr(self):
         opt = tiny_opt(niter=1, niter_decay=4)

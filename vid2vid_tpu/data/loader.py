@@ -59,9 +59,10 @@ def create_test_stream(opt):
 class PrefetchLoader:
     """Index-sampling loader with background prefetch threads.
 
-    Yields dataset items with a leading batch axis of 1 (the reference's
-    canonical batchSize for video training); shuffles per epoch unless
-    serial_batches.
+    Yields dict batches of `opt.batchSize` clips stacked on a leading batch
+    axis (the reference's torch DataLoader batching, which likewise requires
+    per-clip shapes to match within a batch); shuffles per epoch unless
+    serial_batches. A short remainder batch is yielded at epoch end.
     """
 
     def __init__(self, dataset, opt, n_prefetch: int = 2):
@@ -92,21 +93,39 @@ class PrefetchLoader:
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
+        bs = max(1, self.opt.batchSize)
+        pending: list[dict] = []
         try:
             while True:
                 item = q.get()
                 if item is None:
+                    if pending:
+                        yield _stack_items(pending)
                     return
-                yield _add_batch_axis(item)
+                pending.append(item)
+                if len(pending) == bs:
+                    yield _stack_items(pending)
+                    pending = []
         finally:
             stop.set()
 
 
-def _add_batch_axis(item: dict) -> dict:
+def _stack_items(items: list[dict]) -> dict:
+    """Stack per-clip dicts on a new batch axis (arrays), list the rest."""
     out = {}
-    for k, v in item.items():
+    for k, v in items[0].items():
         if isinstance(v, np.ndarray):
-            out[k] = v[None]
+            vs = [it[k] for it in items]
+            shapes = {a.shape for a in vs}
+            if len(shapes) > 1:
+                raise ValueError(
+                    f"cannot batch key {k!r}: per-clip shapes differ "
+                    f"{sorted(shapes)} — use --batchSize 1 or a fixed-crop "
+                    f"--resize_or_crop mode"
+                )
+            out[k] = np.stack(vs)
+        elif v is None:
+            out[k] = None
         else:
-            out[k] = v
+            out[k] = [it[k] for it in items] if len(items) > 1 else v
     return out

@@ -48,18 +48,31 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def batch_sharding(mesh: Mesh, ndim: int, width_axis: int | None = None) -> NamedSharding:
+def batch_sharding(
+    mesh: Mesh,
+    ndim: int,
+    width_axis: int | None = None,
+    batch_axis: int | None = 0,
+) -> NamedSharding:
     """Sharding for an activation array: batch on 'data', width on 'model'.
 
-    Axis 0 is batch; `width_axis` (if given) shards over 'model'.
+    `batch_axis` (default 0) shards over 'data'; pass None to leave the
+    batch replicated (e.g. a remainder batch that doesn't divide the axis).
+    `width_axis` (if given) shards over 'model'.
     """
     spec = [None] * ndim
-    spec[0] = "data"
+    if batch_axis is not None:
+        spec[batch_axis] = "data"
     if width_axis is not None and mesh.shape["model"] > 1:
         spec[width_axis] = "model"
     return NamedSharding(mesh, P(*spec))
 
 
-def shard_batch(x: jax.Array, mesh: Mesh, width_axis: int | None = None):
+def shard_batch(
+    x: jax.Array,
+    mesh: Mesh,
+    width_axis: int | None = None,
+    batch_axis: int | None = 0,
+):
     """Place an array with batch/width sharding."""
-    return jax.device_put(x, batch_sharding(mesh, x.ndim, width_axis))
+    return jax.device_put(x, batch_sharding(mesh, x.ndim, width_axis, batch_axis))

@@ -40,8 +40,10 @@ def save_checkpoint(opt, state: TrainState, schedule: Schedule, tag: str = "late
             "epoch_iter": schedule.epoch_iter,
             "total_steps": schedule.total_steps,
             "n_frames_total": schedule.n_frames_total,
+            "n_frames_per_dev": schedule.n_frames_per_dev,
             "n_frames_load": schedule.n_frames_load,
             "n_frames_bp": schedule.n_frames_bp,
+            "seq_len_max": schedule.seq_len_max,
             "finetune_all": schedule.finetune_all,
         },
     }
@@ -66,7 +68,8 @@ def restore_checkpoint(opt, state: TrainState, schedule: Schedule, tag: str = "l
         "opt_dt": list(state.opt_dt),
         "schedule": {
             "epoch": 0, "epoch_iter": 0, "total_steps": 0,
-            "n_frames_total": 0, "n_frames_load": 0, "n_frames_bp": 0,
+            "n_frames_total": 0, "n_frames_per_dev": 1, "n_frames_load": 0,
+            "n_frames_bp": 0, "seq_len_max": 128,
             "finetune_all": True,
         },
     }
@@ -83,8 +86,10 @@ def restore_checkpoint(opt, state: TrainState, schedule: Schedule, tag: str = "l
     schedule.epoch_iter = int(s["epoch_iter"])
     schedule.total_steps = int(s["total_steps"])
     schedule.n_frames_total = int(s["n_frames_total"])
+    schedule.n_frames_per_dev = int(s["n_frames_per_dev"])
     schedule.n_frames_load = int(s["n_frames_load"])
     schedule.n_frames_bp = int(s["n_frames_bp"])
+    schedule.seq_len_max = int(s["seq_len_max"])
     schedule.finetune_all = bool(s["finetune_all"])
     return new_state, schedule
 

@@ -27,6 +27,7 @@ import numpy as np
 from vid2vid_tpu.config import Options
 from vid2vid_tpu.models.generator import Vid2VidGenerator
 from vid2vid_tpu.models.loss_engine import LossEngine
+from vid2vid_tpu.parallel.mesh import make_mesh, replicated, shard_batch
 from vid2vid_tpu.models.temporal import (
     skipped_flows,
     skipped_frames,
@@ -76,6 +77,25 @@ class Trainer:
         self.flow_fn = flow_fn or zero_flow_fn
         self.schedule = Schedule(opt)
         self.rng = rng if rng is not None else jax.random.key(opt.seed)
+        # --n_devices > 1: build the ('data','model') mesh here so the real
+        # training path shards (the reference's DataParallel + G/D split,
+        # models/models.py:10-59, collapse into these annotations). Batch
+        # shards over 'data' (largest common divisor with batchSize); the
+        # leftover devices shard activation width over 'model' — GSPMD
+        # inserts the conv halo exchanges.
+        self.mesh = None
+        if opt.n_devices > 1:
+            import math
+
+            avail = len(jax.devices())
+            n = min(opt.n_devices, avail)
+            if n < opt.n_devices:
+                print(
+                    f"WARNING: --n_devices {opt.n_devices} requested but only "
+                    f"{avail} devices visible; using {n}"
+                )
+            if n > 1:
+                self.mesh = make_mesh(n, data=math.gcd(opt.batchSize, n))
         # jit the host-side temporal bookkeeping: each eager op is a device
         # round trip on remote platforms; shapes recur per chunk config so
         # the jit cache stays small
@@ -107,6 +127,8 @@ class Trainer:
         state, (self.g_tx, self.d_tx, self.dt_tx) = create_train_state(
             self.opt, gparams, dparams
         )
+        if self.mesh is not None:
+            state = jax.device_put(state, replicated(self.mesh))
         self.g_step = make_g_step(self.gen, self.engine, self.opt, self.g_tx)
         self.d_step = make_d_step(self.engine, self.opt, self.d_tx)
         self.dt_step = make_dt_step(self.engine, self.opt, self.dt_tx)
@@ -136,6 +158,18 @@ class Trainer:
         first_chunk = carry.gen_state is None
         if opt.sparse_D and carry.fake_buf is None:
             carry.fake_buf = (None,) * t_scales
+
+        if self.mesh is not None:
+            # batch over 'data', width over 'model'; all downstream arrays
+            # (encodings, flows, generator state) inherit the layout. A
+            # remainder batch that doesn't divide the data axis (the
+            # reference zero-pads + strips dummies, models/models.py:26-59)
+            # stays replicated over 'data' instead — correct, just unsharded.
+            b_axis = 0 if labels.shape[0] % self.mesh.shape["data"] == 0 else None
+            labels = shard_batch(labels, self.mesh, width_axis=3, batch_axis=b_axis)
+            real_b = shard_batch(real_b, self.mesh, width_axis=3, batch_axis=b_axis)
+            if inst is not None:
+                inst = shard_batch(inst, self.mesh, width_axis=3, batch_axis=b_axis)
 
         enc_a = self.gen.encode_input(labels, inst)
         b, t_len, h, w = real_b.shape[:4]

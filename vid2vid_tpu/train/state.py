@@ -41,24 +41,45 @@ class TrainState:
 
 @dataclasses.dataclass
 class Schedule:
-    """Host-side training schedule & curriculum state (not traced)."""
+    """Host-side training schedule & curriculum state (not traced).
+
+    Curriculum semantics follow the reference exactly:
+      - dataset sequence length `n_frames_total` starts at the flag value
+        (reference: data/base_dataset.py:37) and, every `niter_step` epochs,
+        jumps to `opt.n_frames_total * 2**(epoch//niter_step)` capped at
+        `min(128, seq_len_max) - (tG - 1)` (data/base_dataset.py:19-24) —
+        the flag is the *starting* length, not the ceiling;
+      - per-step window: `n_frames_per_dev` starts at
+        `min(max_frames_per_gpu, opt.n_frames_total // n_dev)` and doubles
+        toward `max_frames_per_gpu` (vid2vid_model_G.py:58-60,
+        base_model.py:177-180);
+      - BPTT cadence `n_frames_bp` starts at 1 and grows as
+        `n_frames_load // ceil(n_frames_load / min(max_frames_backpropagate,
+        2**ratio))` (base_model.py:169-175).
+    """
 
     opt: Options
+    seq_len_max: int = 128  # longest training sequence; dataset reports it
     epoch: int = 1
     epoch_iter: int = 0
     total_steps: int = 0
-    n_frames_total: int = 6  # dataset curriculum (doubles every niter_step)
+    n_frames_total: int = 6
+    n_frames_per_dev: int = 1
     n_frames_load: int = 1
     n_frames_bp: int = 1
     finetune_all: bool = True
 
     def __post_init__(self):
         o = self.opt
+        n_dev = max(o.n_devices, 1)
+        # reference: vid2vid_model_G.py:68 (with one spatial scale nothing is
+        # ever frozen — the detach applies to s != n_scales-1 only)
         self.finetune_all = o.niter_fix_global == 0
-        self.n_frames_total = min(o.n_frames_total, 6)
-        self.n_frames_load = min(
-            o.max_frames_per_gpu * max(o.n_devices, 1), self.n_frames_total
+        self.n_frames_total = o.n_frames_total
+        self.n_frames_per_dev = max(
+            1, min(o.max_frames_per_gpu, o.n_frames_total // n_dev)
         )
+        self.n_frames_load = n_dev * self.n_frames_per_dev
         self.n_frames_bp = 1
 
     def lr_factor(self, epoch: int | None = None) -> float:
@@ -75,28 +96,35 @@ class Schedule:
         Mirrors update_models (reference: models/models.py:151-164).
         """
         o = self.opt
+        n_dev = max(o.n_devices, 1)
         events = {"unfreeze": False, "grow": False}
-        if o.niter_fix_global != 0 and self.epoch == o.niter_fix_global:
+        if (
+            o.n_scales_spatial > 1
+            and o.niter_fix_global != 0
+            and self.epoch == o.niter_fix_global
+        ):
             self.finetune_all = True
             events["unfreeze"] = True
         if self.epoch % o.niter_step == 0:
-            old = self.n_frames_total
-            self.n_frames_total = min(self.n_frames_total * 2, 128, o.n_frames_total)
-            # grow BPTT window then frames-per-device window
             ratio = self.epoch // o.niter_step
+            # dataset curriculum (reference: data/base_dataset.py:19-24)
+            cap = max(1, min(128, self.seq_len_max) - (o.n_frames_G - 1))
+            old = self.n_frames_total
+            if self.n_frames_total < cap:
+                self.n_frames_total = min(cap, o.n_frames_total * 2**ratio)
+            events["grow"] = old != self.n_frames_total
+            # BPTT window then frames-per-device window
+            # (reference: base_model.py:169-180)
             if self.n_frames_bp < self.n_frames_load:
                 nfb = min(o.max_frames_backpropagate, 2**ratio)
                 self.n_frames_bp = self.n_frames_load // max(
                     1, -(-self.n_frames_load // nfb)
                 )
-            per_dev = self.n_frames_load // max(o.n_devices, 1)
-            if per_dev < o.max_frames_per_gpu:
-                self.n_frames_load = min(
-                    self.n_frames_load * 2,
-                    o.max_frames_per_gpu * max(o.n_devices, 1),
+            if self.n_frames_per_dev < o.max_frames_per_gpu:
+                self.n_frames_per_dev = min(
+                    self.n_frames_per_dev * 2, o.max_frames_per_gpu
                 )
-            self.n_frames_load = min(self.n_frames_load, self.n_frames_total)
-            events["grow"] = old != self.n_frames_total
+                self.n_frames_load = n_dev * self.n_frames_per_dev
         self.epoch += 1
         return events
 

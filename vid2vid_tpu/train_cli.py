@@ -47,6 +47,7 @@ def main(argv=None):
         flow_fn = _build_flow_fn(opt)
 
     trainer = Trainer(opt, flow_fn=flow_fn)
+    trainer.schedule.seq_len_max = getattr(dataset, "seq_len_max", 128)
     visualizer = Visualizer(opt)
 
     # initialize lazily from the first clip's spatial size
