@@ -78,3 +78,145 @@ class TestHarness:
         harness.infer_to_flo(params, DS(), str(tmp_path / "out"))
         flow = read_flo(str(tmp_path / "out" / "000000.flo"))
         assert flow.shape == (64, 64, 2)
+
+
+class TestBestEpeCheckpointing:
+    def test_fit_tracks_best_and_restores(self, tmp_path, rng):
+        from vid2vid_tpu.models.flownet2.flow_io import write_flo
+
+        net = FlowNetS(train_outputs=True)
+        harness = FlowHarness(net, lr=1e-3)
+        params, opt_state = harness.init(jax.random.key(0), 64, 64, 6)
+
+        class DS:
+            def __len__(self):
+                return 2
+
+            def __getitem__(self, i):
+                r = np.random.default_rng(i)
+                return (
+                    r.standard_normal((2, 64, 64, 3)).astype(np.float32),
+                    np.full((64, 64, 2), 2.0, np.float32),
+                )
+
+        params, opt_state, best = harness.fit(
+            params, opt_state, DS(), DS(), n_epochs=2,
+            save_dir=str(tmp_path), prefix="t",
+        )
+        assert np.isfinite(best)
+        assert (tmp_path / "t_checkpoint").is_dir()
+        assert (tmp_path / "t_model_best").is_dir()
+
+        p2, o2 = harness.init(jax.random.key(1), 64, 64, 6)
+        rp, ro, epoch, best2 = harness.restore_checkpoint(
+            p2, o2, str(tmp_path), prefix="t", best=True
+        )
+        assert epoch >= 1 and best2 <= best + 1e-6
+        # restored best-EPE params validate to (close to) the tracked best
+        assert harness.validate(rp, DS()) == pytest.approx(best2, rel=1e-3)
+
+    def test_mixed_precision_step_runs(self, rng):
+        net = FlowNetS(train_outputs=True)
+        harness = FlowHarness(net, lr=1e-3, mixed_precision=True)
+        params, opt_state = harness.init(jax.random.key(0), 64, 64, 6)
+        pair = jnp.asarray(
+            rng.standard_normal((1, 2, 64, 64, 3)).astype(np.float32)
+        )
+        flow = jnp.full((1, 64, 64, 2), 2.0)
+        params, opt_state, loss, err = harness._train_step(
+            params, opt_state, pair, flow
+        )
+        # master params stay f32
+        assert all(
+            a.dtype == jnp.float32
+            for a in jax.tree.leaves(params)
+            if jnp.issubdtype(a.dtype, jnp.floating)
+        )
+        assert np.isfinite(float(loss))
+
+
+class TestFlowDatasetReaders:
+    def _img(self, path, seed):
+        from PIL import Image
+
+        r = np.random.default_rng(seed)
+        Image.fromarray(
+            r.integers(0, 255, (64, 96, 3), np.uint8), "RGB"
+        ).save(path)
+
+    def test_flying_things_layout(self, tmp_path):
+        from vid2vid_tpu.models.flownet2.datasets import FlyingThingsClean
+        from vid2vid_tpu.models.flownet2.flow_io import write_flo
+
+        idir = tmp_path / "frames_cleanpass" / "TRAIN" / "A" / "0000" / "left"
+        fdir = (
+            tmp_path / "optical_flow_flo_format" / "TRAIN" / "A" / "0000"
+            / "into_future" / "left"
+        )
+        idir.mkdir(parents=True)
+        fdir.mkdir(parents=True)
+        for i in range(3):
+            self._img(str(idir / f"{i:04d}.png"), i)
+        for i in range(2):
+            write_flo(
+                str(fdir / f"{i:04d}.flo"),
+                np.full((64, 96, 2), i, np.float32),
+            )
+        ds = FlyingThingsClean(str(tmp_path))
+        assert len(ds) == 2
+        pair, flow = ds[1]
+        assert pair.shape == (2, 64, 64, 3)
+        np.testing.assert_allclose(flow, 1.0)
+
+    def test_chairs_sdhom_layout_and_flip(self, tmp_path):
+        from vid2vid_tpu.models.flownet2.datasets import ChairsSDHom
+        from vid2vid_tpu.models.flownet2.flow_io import write_flo
+
+        for sub in ("t0", "t1", "flow"):
+            (tmp_path / "train" / sub).mkdir(parents=True)
+        self._img(str(tmp_path / "train" / "t0" / "0.png"), 0)
+        self._img(str(tmp_path / "train" / "t1" / "0.png"), 1)
+        flow = np.zeros((64, 96, 2), np.float32)
+        flow[0, :, 0] = 7.0  # top row marker
+        write_flo(str(tmp_path / "train" / "flow" / "0.flo"), flow)
+        ds = ChairsSDHom(str(tmp_path))
+        assert len(ds) == 1
+        pair, f = ds[0]
+        # stored flow is vertically flipped on read (reference: flow[::-1])
+        np.testing.assert_allclose(f[-1, :, 0], 7.0)
+        np.testing.assert_allclose(f[0, :, 0], 0.0)
+
+
+class TestMainCli:
+    def test_reflection_cli_trains_and_saves(self, tmp_path):
+        """main_cli end-to-end: reflection flags reach the dataset class,
+        one epoch trains, best checkpoint lands in --save."""
+        from PIL import Image
+
+        from vid2vid_tpu.models.flownet2.flow_io import write_flo
+        from vid2vid_tpu.models.flownet2.main_cli import main
+
+        r = np.random.default_rng(0)
+        data = tmp_path / "chairs"
+        data.mkdir()
+        for i in range(2):
+            for tag in ("img1", "img2"):
+                Image.fromarray(
+                    r.integers(0, 255, (64, 64, 3), np.uint8), "RGB"
+                ).save(str(data / f"{i:05d}_{tag}.ppm"))
+            write_flo(
+                str(data / f"{i:05d}_flow.flo"),
+                np.ones((64, 64, 2), np.float32),
+            )
+        rc = main([
+            "--model", "FlowNetS",
+            "--training_dataset", "FlyingChairs",
+            "--training_dataset_root", str(data),
+            "--validation_dataset", "FlyingChairs",
+            "--validation_dataset_root", str(data),
+            "--total_epochs", "1",
+            "--save", str(tmp_path / "work"),
+            "--name", "smoke",
+        ])
+        assert rc == 0
+        assert (tmp_path / "work" / "smoke_model_best").is_dir()

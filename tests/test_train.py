@@ -192,3 +192,71 @@ class TestStatsRefresh:
         after = jax.tree.leaves(new_state.gparams["G0"]["batch_stats"])
         deltas = [float(jnp.abs(a - b).max()) for a, b in zip(after, before)]
         assert max(deltas) > 0
+
+
+class TestTrainTestRoundTrip:
+    def test_train_save_test_cli_round_trip(self, tmp_path):
+        """Train -> checkpoint (auto norm-stat recalibration) -> test CLI.
+
+        The saved generator's norm running stats must have moved off their
+        (0-mean, 1-var) init — the train CLI recalibrates them from recent
+        clips before every save — and eval-mode inference through test_cli
+        must produce images from that checkpoint.
+        """
+        import os
+
+        import orbax.checkpoint as ocp
+
+        from tests.test_data import write_temporal_dataset
+        from vid2vid_tpu import test_cli, train_cli
+
+        write_temporal_dataset(str(tmp_path), n_seqs=1)
+        for sub in ("test_A", "test_B"):
+            os.symlink(
+                os.path.join(tmp_path, sub.replace("test", "train")),
+                os.path.join(tmp_path, sub),
+            )
+        common = [
+            "--dataroot", str(tmp_path),
+            "--name", "roundtrip",
+            "--checkpoints_dir", str(tmp_path / "ckpt"),
+            "--label_nc", "5",
+            "--loadSize", "64", "--fineSize", "64",
+            "--resize_or_crop", "scaleWidth",
+            "--ngf", "8", "--ndf", "8",
+            "--n_blocks", "2", "--n_downsample_G", "2",
+            "--n_scales_spatial", "1", "--n_frames_G", "3",
+            "--norm", "batch", "--no_flow",
+        ]
+        train_cli.main(common + [
+            "--n_frames_total", "4", "--max_frames_per_gpu", "2",
+            "--num_D", "1", "--n_layers_D", "2",
+            "--n_frames_D", "3", "--n_scales_temporal", "1",
+            "--no_vgg",
+            "--niter", "1", "--niter_decay", "0",
+        ])
+
+        payload = ocp.PyTreeCheckpointer().restore(
+            str(tmp_path / "ckpt" / "roundtrip" / "state" / "G_latest")
+        )
+        means = [
+            leaf
+            for path, leaf in jax.tree_util.tree_flatten_with_path(
+                payload["G0"]["batch_stats"]
+            )[0]
+            if any(getattr(k, "key", None) == "mean" for k in path)
+        ]
+        assert means, "checkpoint carries no batch_stats means"
+        assert any(float(jnp.abs(m).max()) > 1e-6 for m in means), (
+            "running means still at init — recalibration before save did not run"
+        )
+
+        test_cli.main(common + [
+            "--how_many", "4",
+            "--results_dir", str(tmp_path / "results"),
+            "--use_real_img",
+        ])
+        out_dir = tmp_path / "results" / "roundtrip" / "test_latest"
+        fakes = sorted(out_dir.glob("*_fake_B.jpg"))
+        # 8 frames, tG=3: first output at frame index 2; how_many=4 caps it
+        assert len(fakes) == 4

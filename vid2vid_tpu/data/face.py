@@ -147,7 +147,6 @@ class FaceDataset:
         self.n_of_seqs = len(self.a_paths)
         self.seq_len_max = max(len(a) for a in self.a_paths)
         self.n_frames_total = opt.n_frames_total
-        self._crop_box = None  # persisted across a test stream
 
     def __len__(self):
         return self.n_of_seqs
@@ -156,11 +155,12 @@ class FaceDataset:
         cap = min(128, self.seq_len_max) - (self.opt.n_frames_G - 1)
         self.n_frames_total = min(n, max(cap, 1))
 
-    def _crop_img(self, arr: np.ndarray) -> np.ndarray:
-        y0, y1, x0, x1 = self._crop_box
+    @staticmethod
+    def _crop_img(arr: np.ndarray, crop_box) -> np.ndarray:
+        y0, y1, x0, x1 = crop_box
         return arr[y0:y1, x0:x1]
 
-    def _build_frame(self, kp_path, img_path, opt, params, size):
+    def _build_frame(self, kp_path, img_path, opt, params, size, crop_box):
         points = extend_keypoints(np.loadtxt(kp_path, delimiter=","))
         if not opt.isTrain and opt.random_scale_points:
             jitter_keypoints(points)
@@ -174,7 +174,7 @@ class FaceDataset:
             edges = edges + (canny * (part_labels == 0) * 255).astype(np.uint8)
 
         def to_chan(arr, nearest=False):
-            pil = Image.fromarray(self._crop_img(arr))
+            pil = Image.fromarray(self._crop_img(arr, crop_box))
             method = Image.NEAREST if nearest else Image.BILINEAR
             out = apply_transform(pil, opt, params, method)
             return np.asarray(out, np.float32) / 255.0
@@ -186,13 +186,13 @@ class FaceDataset:
 
         label = np.asarray(
             apply_transform(
-                Image.fromarray(self._crop_img(part_labels)), opt, params,
+                Image.fromarray(self._crop_img(part_labels, crop_box)), opt, params,
                 Image.NEAREST,
             ),
             np.int32,
         )
 
-        img_c = Image.fromarray(self._crop_img(np.asarray(img)))
+        img_c = Image.fromarray(self._crop_img(np.asarray(img), crop_box))
         b = np.asarray(
             apply_transform(img_c, opt, params, Image.BICUBIC), np.float32
         ) / 255.0 * 2.0 - 1.0
@@ -210,16 +210,15 @@ class FaceDataset:
         with Image.open(img_paths[start]) as probe:
             size = probe.size
         points0 = np.loadtxt(kp_paths[start], delimiter=",")
-        if opt.isTrain or self._crop_box is None:
-            self._crop_box = face_crop_box(points0, size)
-        y0, y1, x0, x1 = self._crop_box
+        crop_box = face_crop_box(points0, size)
+        y0, y1, x0, x1 = crop_box
         params = get_img_params(opt, (x1 - x0, y1 - y0))
 
         a_frames, b_frames, l_frames = [], [], []
         for i in range(n_total):
             idx = start + i * t_step
             a, b, label = self._build_frame(
-                kp_paths[idx], img_paths[idx], opt, params, size
+                kp_paths[idx], img_paths[idx], opt, params, size, crop_box
             )
             a_frames.append(a)
             b_frames.append(b)
@@ -251,12 +250,12 @@ class FaceTestStream:
             with Image.open(img_paths[0]) as probe:
                 size = probe.size
             points0 = np.loadtxt(kp_paths[0], delimiter=",")
-            self.ds._crop_box = face_crop_box(points0, size)
-            y0, y1, x0, x1 = self.ds._crop_box
+            crop_box = face_crop_box(points0, size)
+            y0, y1, x0, x1 = crop_box
             params = get_img_params(opt, (x1 - x0, y1 - y0))
             for idx in range(len(kp_paths)):
                 a, b, label = self.ds._build_frame(
-                    kp_paths[idx], img_paths[idx], opt, params, size
+                    kp_paths[idx], img_paths[idx], opt, params, size, crop_box
                 )
                 yield {
                     "A": a,

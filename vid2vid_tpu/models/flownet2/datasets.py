@@ -102,3 +102,73 @@ class ImagesFromFolder:
         img1, img2 = self.samples[i]
         a, b = _center_crop64(_load_image(img1), _load_image(img2))
         return np.stack([a, b]), np.zeros(a.shape[:2] + (2,), np.float32)
+
+class FlyingThings:
+    """FlyingThings3D into-future pairs (reference: flownet2_pytorch/
+    datasets.py:200-252): <root>/<dstype>/TRAIN/*/*/{left,right}/*.png
+    paired with <root>/optical_flow_flo_format/TRAIN/*/*/into_future/
+    {left,right}/*.flo; flow i maps frame i -> i+1."""
+
+    def __init__(self, root: str, dstype: str = "frames_cleanpass"):
+        image_dirs = sorted(glob.glob(os.path.join(root, dstype, "TRAIN", "*", "*")))
+        image_dirs = sorted(
+            [os.path.join(d, "left") for d in image_dirs]
+            + [os.path.join(d, "right") for d in image_dirs]
+        )
+        flow_dirs = sorted(
+            glob.glob(
+                os.path.join(root, "optical_flow_flo_format", "TRAIN", "*", "*")
+            )
+        )
+        flow_dirs = sorted(
+            [os.path.join(d, "into_future", "left") for d in flow_dirs]
+            + [os.path.join(d, "into_future", "right") for d in flow_dirs]
+        )
+        self.samples = []
+        for idir, fdir in zip(image_dirs, flow_dirs):
+            images = sorted(glob.glob(os.path.join(idir, "*.png")))
+            flows = sorted(glob.glob(os.path.join(fdir, "*.flo")))
+            for i in range(len(flows)):
+                if i + 1 < len(images):
+                    self.samples.append((images[i], images[i + 1], flows[i]))
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, i):
+        img1, img2, flo = self.samples[i]
+        a, b, f = _center_crop64(
+            _load_image(img1), _load_image(img2), read_flo(flo)
+        )
+        return np.stack([a, b]), f
+
+
+class FlyingThingsClean(FlyingThings):
+    def __init__(self, root: str):
+        super().__init__(root, "frames_cleanpass")
+
+
+class FlyingThingsFinal(FlyingThings):
+    def __init__(self, root: str):
+        super().__init__(root, "frames_finalpass")
+
+
+class ChairsSDHom:
+    """ChairsSDHom small-displacement set (reference: flownet2_pytorch/
+    datasets.py:242-311): <root>/<dstype>/{t0,t1,flow}/*.png|*.flo with the
+    flow stored vertically flipped (the reference's `flow[::-1]`)."""
+
+    def __init__(self, root: str, dstype: str = "train"):
+        image1 = sorted(glob.glob(os.path.join(root, dstype, "t0", "*.png")))
+        image2 = sorted(glob.glob(os.path.join(root, dstype, "t1", "*.png")))
+        flows = sorted(glob.glob(os.path.join(root, dstype, "flow", "*.flo")))
+        self.samples = list(zip(image1, image2, flows))
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, i):
+        img1, img2, flo = self.samples[i]
+        flow = read_flo(flo)[::-1]
+        a, b, f = _center_crop64(_load_image(img1), _load_image(img2), flow)
+        return np.stack([a, b]), np.ascontiguousarray(f)

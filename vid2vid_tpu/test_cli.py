@@ -42,7 +42,14 @@ def main(argv=None):
     stream = create_test_stream(opt)
     params = None
     state = None
-    window = []  # rolling tG-frame label window
+    # Rolling per-sequence frame histories. The reference's first item of a
+    # sequence loads tG *distinct* frames (labels 0..tG-1) and generates the
+    # frame at index tG-1; use_real_img seeds from the actual previous real
+    # frames (reference: data/test_dataset.py:40-48, test.py:34-41) — so we
+    # buffer tG real frames of history rather than padding with repeats.
+    window: list = []   # labels
+    bwindow: list = []  # real frames (when present)
+    iwindow: list = []  # instance maps (when present)
     tG = opt.n_frames_G
     count = 0
 
@@ -51,33 +58,34 @@ def main(argv=None):
             break
         a = item["A"]
         if item["change_seq"] or params is None:
-            h, w = a.shape[0], a.shape[1] if a.ndim >= 2 else None
             h, w = a.shape[:2]
             if params is None:
                 params = _load_params(opt, eng, h, w)
             state = None
-            window = []
+            window, bwindow, iwindow = [], [], []
 
         window.append(a)
+        if item.get("B") is not None:
+            bwindow.append(item["B"])
+        if item.get("inst") is not None:
+            iwindow.append(item["inst"])
         if len(window) > tG:
             window.pop(0)
-        while len(window) < tG:  # left-pad the first window
-            window.insert(0, window[0])
+            bwindow = bwindow[-tG:]
+            iwindow = iwindow[-tG:]
+        if len(window) < tG:
+            continue  # warmup: the first output frame is at index tG-1
 
         labels = np.stack(window)[None]  # (1, tG, H, W[, C])
-        inst = (
-            np.stack([item["inst"]] * tG)[None]
-            if item.get("inst") is not None
-            else None
-        )
+        inst = np.stack(iwindow)[None] if iwindow else None
 
         if state is None:
             h, w = a.shape[:2]
             if opt.use_single_G:
-                state = _single_g_seed(opt, eng, labels, item)
-            elif item.get("B") is not None and opt.use_real_img:
+                state = _single_g_seed(opt, eng, labels, bwindow, iwindow)
+            elif bwindow and opt.use_real_img:
                 state = eng.seed_state(
-                    jnp.asarray(np.stack([item["B"]] * (tG - 1))[None])
+                    jnp.asarray(np.stack(bwindow[: tG - 1])[None])
                 )
             else:
                 state = eng.initial_state(1, h, w)
@@ -107,9 +115,11 @@ def main(argv=None):
     print(f"done: {count} frames written to {save_dir}")
 
 
-def _single_g_seed(opt, eng, labels, item):
+def _single_g_seed(opt, eng, labels, bwindow, iwindow):
     """use_single_G first-frame strategy: run the single-image generator on
     the first tG-1 label maps (reference: models/vid2vid_model_G.py:237-288).
+    `bwindow`/`iwindow` hold the sequence's true first frames (real images /
+    instance maps), used by the face variant's feature encoder.
 
     Single-image params live under checkpoints/<registry>/state/ as orbax
     trees (convert published .pth with vid2vid_tpu.tools.convert_checkpoint);
@@ -163,12 +173,16 @@ def _single_g_seed(opt, eng, labels, item):
             clusters = np.load(fpath, allow_pickle=True).item()
         else:
             clusters = {}
-        b = item.get("B")
-        real = b if b is not None else np.zeros(labels.shape[2:4] + (3,), np.float32)
-        real_first = jnp.asarray(np.stack([real] * (tG - 1))[None])
-        inst = item.get("inst")
-        pm = inst if inst is not None else np.zeros(labels.shape[2:4], np.int32)
-        pool_map = jnp.asarray(np.stack([pm] * (tG - 1))[None])
+        if bwindow:
+            reals = list(bwindow[: tG - 1])
+        else:
+            reals = [np.zeros(labels.shape[2:4] + (3,), np.float32)] * (tG - 1)
+        real_first = jnp.asarray(np.stack(reals)[None])
+        if iwindow:
+            pms = list(iwindow[: tG - 1])
+        else:
+            pms = [np.zeros(labels.shape[2:4], np.int32)] * (tG - 1)
+        pool_map = jnp.asarray(np.stack(pms)[None])
 
     return eng.single_g_first_frames(
         params_i, enc, real_first, pool_map, encoder_params, clusters

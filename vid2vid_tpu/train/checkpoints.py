@@ -105,3 +105,78 @@ def restore_params(opt, template: Any, tag: str):
 
 def checkpoint_exists(opt, tag: str = "latest") -> bool:
     return os.path.isdir(_ckpt_dir(opt, tag))
+
+
+def fuzzy_merge(template: Any, loaded: Any, path: str = ""):
+    """Shape-intersection merge: take `loaded` leaves whose path and shape
+    match the template, keep the template elsewhere.
+
+    The reference's load_network fallback (reference: models/base_model.py:
+    76-107) loads the intersection of state dicts with matching sizes and
+    leaves the rest initialized — the mechanism behind `--load_pretrain`
+    warm-starts of higher resolutions from lower ones
+    (reference: scripts/street/train_1024.sh:5).
+
+    Returns (merged, n_loaded, skipped_paths).
+    """
+    if isinstance(template, dict):
+        merged = {}
+        n_loaded = 0
+        skipped: list[str] = []
+        for k, v in template.items():
+            if isinstance(loaded, dict) and k in loaded:
+                m, n, sp = fuzzy_merge(v, loaded[k], f"{path}/{k}")
+                merged[k] = m
+                n_loaded += n
+                skipped += sp
+            else:
+                merged[k] = v
+                skipped.append(f"{path}/{k}")
+        return merged, n_loaded, skipped
+    t_shape = tuple(getattr(template, "shape", ()))
+    l_shape = tuple(getattr(loaded, "shape", ()))
+    if t_shape == l_shape:
+        import jax.numpy as jnp
+
+        dtype = getattr(template, "dtype", None)
+        return jnp.asarray(loaded, dtype), 1, []
+    return template, 0, [f"{path} (shape {l_shape} != {t_shape})"]
+
+
+def load_pretrain(opt, state: TrainState) -> TrainState:
+    """Warm-start from another run's checkpoint directory (--load_pretrain).
+
+    Accepts either a full train-state checkpoint (`state/latest`) or a
+    generator-only snapshot (`state/G_latest`); leaves whose path or shape
+    don't match (e.g. a new enhancer scale) stay at init, mirroring the
+    reference's fuzzy load_network.
+    """
+    root = os.path.abspath(opt.load_pretrain)
+    ckpt = ocp.PyTreeCheckpointer()
+    full = os.path.join(root, "state", "latest")
+    gonly = os.path.join(root, "state", "G_latest")
+    if os.path.isdir(full):
+        payload = ckpt.restore(full)
+        g_loaded, d_loaded = payload.get("gparams"), payload.get("dparams")
+    elif os.path.isdir(gonly):
+        g_loaded, d_loaded = ckpt.restore(gonly), None
+    else:
+        raise FileNotFoundError(
+            f"--load_pretrain {opt.load_pretrain}: no checkpoint under "
+            f"{full} or {gonly}"
+        )
+    gparams, n_g, skipped = fuzzy_merge(state.gparams, g_loaded)
+    msg = f"load_pretrain: {n_g} generator tensors from {root}"
+    dparams = state.dparams
+    if d_loaded is not None:
+        dparams, n_d, skipped_d = fuzzy_merge(state.dparams, d_loaded)
+        skipped += skipped_d
+        msg += f", {n_d} discriminator tensors"
+    print(msg)
+    if skipped:
+        print(f"  not initialized from pretrain ({len(skipped)}):")
+        for s in skipped[:12]:
+            print(f"    {s}")
+        if len(skipped) > 12:
+            print(f"    ... +{len(skipped) - 12} more")
+    return state.replace(gparams=gparams, dparams=dparams)

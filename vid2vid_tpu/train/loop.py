@@ -314,12 +314,11 @@ def refresh_batch_stats(
     """
     gen = trainer.gen
     tG = trainer.opt.n_frames_G
+    if "batch_stats" not in state.gparams.get("G0", {}):
+        return state  # norm='none': nothing to recalibrate
 
     @jax.jit
     def refresh(gparams, enc, gen_state):
-        def run(scale_key, module_idx):
-            return None
-
         # run each scale's module with mutable batch_stats through one clip
         new_params = dict(gparams)
         coarse = None

@@ -186,19 +186,30 @@ def reinit_g_optimizer(state: TrainState, opt: Options) -> TrainState:
 
 
 def set_learning_rate(state: TrainState, opt: Options, factor: float) -> TrainState:
-    """Scale all groups' learning rates (linear decay hook)."""
+    """Scale all groups' learning rates (linear decay hook).
+
+    Rebuilds the optax state trees functionally (InjectHyperparamsState /
+    MultiTransformState / MaskedState are NamedTuples) — no in-place
+    mutation, safe under donation/copies.
+    """
 
     def upd(opt_state, base_lr):
-        opt_state.hyperparams["learning_rate"] = base_lr * factor
-        return opt_state
+        lr = jnp.asarray(
+            base_lr * factor,
+            dtype=jnp.asarray(opt_state.hyperparams["learning_rate"]).dtype,
+        )
+        return opt_state._replace(
+            hyperparams={**opt_state.hyperparams, "learning_rate": lr}
+        )
 
     lr_g = (opt.lr / 2) if opt.TTUR else opt.lr
     lr_d = (opt.lr * 2) if opt.TTUR else opt.lr
     new_opt_g = upd(state.opt_g, lr_g)
-    # opt_d is a multi_transform: inner_states['d'] holds the injected adam
-    new_opt_d = state.opt_d
-    new_opt_d.inner_states["d"].inner_state.hyperparams["learning_rate"] = (
-        lr_d * factor
+    # opt_d is a multi_transform: inner_states['d'] wraps the injected adam
+    masked = state.opt_d.inner_states["d"]
+    new_masked = masked._replace(inner_state=upd(masked.inner_state, lr_d))
+    new_opt_d = state.opt_d._replace(
+        inner_states={**state.opt_d.inner_states, "d": new_masked}
     )
     new_opt_dt = tuple(upd(s, opt.lr) for s in state.opt_dt)
     return state.replace(opt_g=new_opt_g, opt_d=new_opt_d, opt_dt=new_opt_dt)

@@ -27,10 +27,11 @@ def main(argv=None):
     from vid2vid_tpu.data.loader import PrefetchLoader, create_dataset
     from vid2vid_tpu.train.checkpoints import (
         checkpoint_exists,
+        load_pretrain,
         restore_checkpoint,
         save_checkpoint,
     )
-    from vid2vid_tpu.train.loop import Trainer
+    from vid2vid_tpu.train.loop import Trainer, refresh_batch_stats
     from vid2vid_tpu.utils.images import flow_to_color, label_to_color, to_image
     from vid2vid_tpu.utils.visualizer import Visualizer
 
@@ -61,6 +62,24 @@ def main(argv=None):
             f"resumed at epoch {trainer.schedule.epoch}, "
             f"n_frames_total {trainer.schedule.n_frames_total}"
         )
+    elif opt.load_pretrain:
+        # warm-start (e.g. 1024 from the finished 512 run) — fuzzy
+        # shape-intersection load, new scales stay at init
+        state = load_pretrain(opt, state)
+
+    # ring buffer of recent clips: checkpoints recalibrate norm running
+    # stats from these before saving, so eval-mode inference of a freshly
+    # trained model is correct by default (the reference's BN updates every
+    # forward; our jitted steps use per-batch stats and skip the buffers)
+    recent_clips: list = []
+
+    def save(state, tag):
+        if recent_clips:
+            state = refresh_batch_stats(
+                trainer, state, recent_clips, n_batches=len(recent_clips)
+            )
+        save_checkpoint(opt, state, sched, tag)
+        return state
 
     sched = trainer.schedule
     total_epochs = opt.niter + opt.niter_decay
@@ -75,6 +94,9 @@ def main(argv=None):
             imgs = jnp.asarray(data["B"])
             inst = jnp.asarray(data["inst"]) if data.get("inst") is not None else None
             state, losses = trainer.train_clip(state, labels, imgs, inst)
+            recent_clips.append((labels, imgs, inst))
+            if len(recent_clips) > 4:
+                recent_clips.pop(0)
 
             if sched.total_steps % opt.print_freq < opt.batchSize:
                 visualizer.print_current_errors(
@@ -86,7 +108,7 @@ def main(argv=None):
                 _dump_visuals(opt, trainer, visualizer, epoch, sched.total_steps)
 
             if sched.total_steps % opt.save_latest_freq < opt.batchSize:
-                save_checkpoint(opt, state, sched, "latest")
+                state = save(state, "latest")
 
             if opt.debug:
                 from vid2vid_tpu.utils.profiling import device_memory_stats
@@ -100,9 +122,9 @@ def main(argv=None):
             f"End of epoch {epoch} / {total_epochs} \t "
             f"Time Taken: {time.time() - epoch_start:.0f} sec"
         )
-        save_checkpoint(opt, state, sched, "latest")
+        state = save(state, "latest")
         if epoch % opt.save_epoch_freq == 0:
-            save_checkpoint(opt, state, sched, str(epoch))
+            state = save(state, str(epoch))
         state = trainer.end_of_epoch(state)
 
     return state
