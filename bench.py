@@ -1,13 +1,23 @@
-"""Benchmark: label2city 2048x1024 inference throughput (the north-star
-metric from BASELINE.json — frames/sec of the 3-scale composite generator
-with one-hot 35-class + instance-edge input and fg compositing).
+"""Benchmarks: label2city 2048x1024 inference throughput (the north-star
+metric from BASELINE.json) + Cityscapes-512x256 training step rate + MFU.
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline is measured fps / 2.0 — the driver's target is >=2x a V100,
-and no official V100 number exists (BASELINE.md: none published), so we
-normalize against an estimated V100 fps of ~1.0 for this model at 2048x1024
-(README-scale model, ~0.5-1s/frame on V100-class hardware); the judged
-signal is the measured fps trend across rounds.
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+The primary metric stays frames/sec of the 3-scale composite generator
+(one-hot 35-class + instance-edge input, fg compositing) at 2048x1024.
+vs_baseline is measured fps / 2.0 (the driver's target is >=2x a V100 and
+no official V100 number exists — BASELINE.md: none published).
+
+Grounding (extra keys in the same JSON object):
+  - flops_per_frame_T / mfu_pct: XLA cost_analysis of the compiled clip
+    function divided by measured time against the chip's peak (v5e bf16
+    ~197 TFLOP/s, override with BENCH_PEAK_TFLOPS) — makes "fast"
+    falsifiable without a V100.
+  - train_iters_per_sec: full G + D + D_T optimization steps per second at
+    512x256, n_frames_total 6 (BASELINE.json's second driver metric),
+    VGG + temporal losses included, bf16 compute.
+
+Env knobs: BENCH_H/W/FRAMES/REPS/BF16, BENCH_TRAIN=0 to skip the train
+bench, BENCH_PEAK_TFLOPS.
 """
 
 import json
@@ -22,7 +32,21 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main():
+def _cost_analysis_flops(jitted, *args, **kwargs):
+    """Total FLOPs of one call of a jitted fn, or None if unavailable."""
+    try:
+        compiled = jitted.lower(*args, **kwargs).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        flops = float(ca.get("flops", 0.0))
+        return flops if flops > 0 else None
+    except Exception as e:  # noqa: BLE001 — cost analysis is best-effort
+        print(f"cost_analysis unavailable: {e!r}", file=sys.stderr)
+        return None
+
+
+def bench_inference():
     from vid2vid_tpu.config import Options
     from vid2vid_tpu.models.inference import InferenceEngine
 
@@ -72,16 +96,72 @@ def main():
     dt = (time.perf_counter() - t0) / n_rep
     fps = frames / dt
 
-    print(
-        json.dumps(
-            {
-                "metric": f"label2city {width}x{height} 3-scale inference",
-                "value": round(fps, 3),
-                "unit": "frames/sec",
-                "vs_baseline": round(fps / 2.0, 3),
-            }
-        )
+    # per-frame FLOPs: XLA's cost_analysis counts a lax.scan body ONCE
+    # regardless of trip count (measured: T=1/2/4 clips all report the same
+    # total), so lower a 1-frame clip — body flops == per-frame flops there.
+    enc1 = enc[:, : tG]
+    flops_per_frame = _cost_analysis_flops(
+        eng._clip_fn, params, enc1, state, False
     )
+    extras = {}
+    if flops_per_frame:
+        peak = float(os.environ.get("BENCH_PEAK_TFLOPS", 197.0)) * 1e12
+        extras["flops_per_frame_T"] = round(flops_per_frame / 1e12, 3)
+        extras["mfu_pct"] = round(100.0 * flops_per_frame * fps / peak, 2)
+        extras["peak_tflops"] = peak / 1e12
+    return fps, (height, width), extras
+
+
+def bench_train():
+    """Full G+D+D_T step rate at 512x256 (canonical train_512 config,
+    reference: scripts/street/train_512.sh + README.md:117-120)."""
+    from vid2vid_tpu.config import Options
+    from vid2vid_tpu.data.synthetic import moving_square_clip
+    from vid2vid_tpu.train.loop import Trainer
+
+    height, width = 256, 512
+    opt = Options(
+        label_nc=35, use_instance=False, fg=True, fg_labels=(26,),
+        ngf=128, n_downsample_G=3, n_blocks=9, n_scales_spatial=1,
+        n_frames_G=3, n_frames_D=3, n_scales_temporal=2,
+        n_frames_total=6, max_frames_per_gpu=2,
+        norm="batch", bf16=True, remat=True, isTrain=True, fineSize=width,
+    )
+    trainer = Trainer(opt)  # zero-flow flow_fn: flow targets, not FlowNet cost
+    state = trainer.init_state(height, width)
+    rng = np.random.default_rng(0)
+    labels, imgs = moving_square_clip(rng, 8, height, width, n_classes=35)
+    labels, imgs = jnp.asarray(labels), jnp.asarray(imgs)
+
+    # warmup/compile: one full clip (3 chunks of n_frames_load=2)
+    state, _ = trainer.train_clip(state, labels, imgs)
+    n_chunks = 3
+    reps = int(os.environ.get("BENCH_TRAIN_REPS", 2))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        state, losses = trainer.train_clip(state, labels, imgs)
+    dt = (time.perf_counter() - t0) / reps  # train_clip reads losses -> sync
+    return n_chunks / dt
+
+
+def main():
+    fps, (height, width), extras = bench_inference()
+    record = {
+        "metric": f"label2city {width}x{height} 3-scale inference",
+        "value": round(fps, 3),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / 2.0, 3),
+    }
+    record.update(extras)
+    if os.environ.get("BENCH_TRAIN", "1") == "1":
+        try:
+            record["train_iters_per_sec"] = round(bench_train(), 3)
+            record["train_config"] = (
+                "512x256 bs1 tG3 chunk2 G+D+2xD_T vgg bf16 zero-flow-ref"
+            )
+        except Exception as e:  # noqa: BLE001 — keep the primary metric
+            print(f"train bench failed: {e!r}", file=sys.stderr)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -1,5 +1,5 @@
 #!/bin/bash
-# FaceForensics edge->face training (reference: scripts/face/train_512.sh)
-python -m vid2vid_tpu.train_cli --name edge2face_512 \
-  --dataroot datasets/face --dataset_mode face --input_nc 15 --loadSize 512 \
-  --num_D 3 --n_frames_total 12 --niter 20 --niter_decay 20 --n_devices 8
+# edge->face 512 (8-device) (reference: scripts/face/train_512.sh)
+python -m vid2vid_tpu.train_cli --name edge2face_512 --dataroot datasets/face \
+  --dataset_mode face --input_nc 15 --loadSize 512 --num_D 3 --niter 20 --niter_decay \
+  20 --n_frames_total 12 --n_devices 8

@@ -1,0 +1,5 @@
+#!/bin/bash
+# single-device pose->body 256p inference (reference: scripts/pose/test_g1_256p.sh)
+python -m vid2vid_tpu.test_cli --name pose2body_256p_g1 --dataroot datasets/pose \
+  --dataset_mode pose --ngf 64 --input_nc 6 --resize_or_crop scaleHeight --loadSize \
+  256 --no_first_img

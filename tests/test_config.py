@@ -80,3 +80,59 @@ class TestFlagSurface:
         opt = Options(openpose_only=True)
         assert opt.effective_no_flow
         assert Options(ngf=128).ngf_at_scale(2) == 32
+
+
+class TestRecipeMatrix:
+    def test_every_recipe_parses(self, tmp_path):
+        """All 30 recipes (the reference's full scripts/ matrix,
+        reference: scripts/{street,face,pose}/*.sh) parse through the real
+        CLI argument surface with their exact flag sets."""
+        import glob
+        import os
+        import shlex
+
+        root = os.path.join(os.path.dirname(__file__), "..", "recipes")
+        recipes = sorted(glob.glob(os.path.join(root, "*", "*.sh")))
+        assert len(recipes) == 30
+        for path in recipes:
+            text = open(path).read().replace("\\\n", " ")
+            cmd = next(
+                line for line in text.splitlines()
+                if line.startswith("python -m vid2vid_tpu.")
+            )
+            toks = shlex.split(cmd)
+            is_train = "train_cli" in toks[2]
+            args = toks[3:] + ["--checkpoints_dir", str(tmp_path)]
+            opt = parse_args(args, is_train=is_train, save=False)
+            assert opt.name, path
+            assert opt.isTrain == is_train, path
+
+    def test_recipe_names_mirror_reference(self):
+        import glob
+        import os
+
+        root = os.path.join(os.path.dirname(__file__), "..", "recipes")
+        got = {
+            os.path.join(os.path.basename(os.path.dirname(p)), os.path.basename(p))
+            for p in glob.glob(os.path.join(root, "*", "*.sh"))
+        }
+        expected = {
+            # street (reference: scripts/street/)
+            "street/train_512.sh", "street/train_512_bs.sh",
+            "street/train_512_no_fg.sh", "street/train_1024.sh",
+            "street/train_2048.sh", "street/train_2048_crop.sh",
+            "street/train_g1_256.sh", "street/train_g1_512.sh",
+            "street/train_g1_1024.sh", "street/test_2048.sh",
+            "street/test_g1_1024.sh",
+            # face (reference: scripts/face/)
+            "face/train_512.sh", "face/train_512_bs7.sh",
+            "face/train_g1_256.sh", "face/train_g1_512.sh",
+            "face/test_512.sh", "face/test_g1_256.sh", "face/test_g1_512.sh",
+            # pose (reference: scripts/pose/)
+            "pose/train_256p.sh", "pose/train_512p.sh", "pose/train_1024p.sh",
+            "pose/train_g1_256p.sh", "pose/train_g1_512p.sh",
+            "pose/train_g1_1024p.sh", "pose/test_256p.sh", "pose/test_512p.sh",
+            "pose/test_1024p.sh", "pose/test_g1_256p.sh",
+            "pose/test_g1_512p.sh", "pose/test_g1_1024p.sh",
+        }
+        assert got == expected

@@ -341,3 +341,74 @@ class TestVgg:
             (1, 8, 8, 512),
             (1, 4, 4, 512),
         ]
+
+
+class TestFactoryDispatch:
+    """define_G parity: every --netG kind constructs and runs
+    (reference: models/networks.py:32-59)."""
+
+    def _opt(self, **kw):
+        from vid2vid_tpu.config import Options
+
+        base = dict(
+            label_nc=4, ngf=8, n_downsample_G=2, n_blocks=2,
+            n_blocks_local=1, n_local_enhancers=1, feat_num=4,
+            norm="instance", output_nc=3,
+        )
+        base.update(kw)
+        return Options(**base)
+
+    def test_all_generator_kinds(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from vid2vid_tpu.nn.factory import GENERATOR_KINDS, define_g
+
+        opt = self._opt()
+        x = jnp.asarray(rng.standard_normal((1, 32, 32, 12)).astype(np.float32))
+        prev = jnp.asarray(rng.standard_normal((1, 32, 32, 6)).astype(np.float32))
+        z = jnp.asarray(rng.standard_normal((1, 32, 32, 4)).astype(np.float32))
+        inst = jnp.zeros((1, 32, 32), jnp.int32)
+
+        for kind in GENERATOR_KINDS:
+            mod = define_g(opt, kind)
+            if kind in ("global", "local"):
+                v = mod.init(jax.random.key(0), x)
+                out = mod.apply(v, x)
+                assert out.shape == (1, 32, 32, 3), kind
+            elif kind in ("global_with_features", "local_with_features"):
+                v = mod.init(jax.random.key(0), x, z)
+                out = mod.apply(v, x, z)
+                assert out.shape == (1, 32, 32, 3), kind
+            elif kind == "composite":
+                v = mod.init(jax.random.key(0), x, prev, None)
+                out = mod.apply(v, x, prev, None)
+                assert out.img_final.shape == (1, 32, 32, 3)
+            elif kind == "compositeLocal":
+                coarse_mod = define_g(opt, "composite")
+                cv = coarse_mod.init(
+                    jax.random.key(0), x[:, :16, :16], prev[:, :16, :16], None
+                )
+                coarse = coarse_mod.apply(cv, x[:, :16, :16], prev[:, :16, :16], None)
+                local = define_g(opt, kind, ngf=opt.ngf_at_scale(1), scale=1)
+                v = local.init(jax.random.key(0), x, prev, coarse, None)
+                out = local.apply(v, x, prev, coarse, None)
+                assert out.img_final.shape == (1, 32, 32, 3)
+            elif kind == "encoder":
+                v = mod.init(jax.random.key(0), prev[..., :3], inst)
+                out = mod.apply(v, prev[..., :3], inst)
+                assert out.shape == (1, 32, 32, 4)
+
+    def test_unknown_kind_raises(self):
+        import pytest as _pytest
+
+        from vid2vid_tpu.nn.factory import define_g
+
+        with _pytest.raises(ValueError, match="unknown --netG"):
+            define_g(self._opt(), "resnet9000")
+
+    def test_define_d_honours_opt(self):
+        from vid2vid_tpu.nn.factory import define_d
+
+        d = define_d(self._opt(num_D=2, n_layers_D=2, ndf=8, no_ganFeat=False))
+        assert d.num_d == 2 and d.n_layers == 2 and d.get_interm_feat

@@ -28,11 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from vid2vid_tpu.config import Options
-from vid2vid_tpu.nn.composite import (
-    CompositeGenerator,
-    CompositeLocalGenerator,
-    CompositeOut,
-)
+from vid2vid_tpu.nn.composite import CompositeOut
 from vid2vid_tpu.ops.encode import fg_mask_from_onehot, instance_edges, label_one_hot
 from vid2vid_tpu.ops.pool import build_pyramid_video
 
@@ -74,32 +70,19 @@ class Vid2VidGenerator:
     """
 
     def __init__(self, opt: Options):
+        from vid2vid_tpu.nn.factory import define_g
+
         self.opt = opt
         self.n_scales = opt.n_scales_spatial
         self.tG = opt.n_frames_G
-        no_flow = opt.effective_no_flow
-        self.scales: list[Any] = [
-            CompositeGenerator(
-                output_nc=opt.output_nc,
-                ngf=opt.ngf,
-                n_downsampling=opt.n_downsample_G,
-                n_blocks=opt.n_blocks,
-                norm=opt.norm,
-                use_fg=opt.fg,
-                no_flow=no_flow,
-            )
-        ]
+        # netG0 = opt.netG ('composite'); enhancer scales are always
+        # 'compositeLocal' with ngf halved per scale
+        # (reference: models/vid2vid_model_G.py:38-43)
+        self.scales: list[Any] = [define_g(opt, opt.netG)]
         for s in range(1, self.n_scales):
             self.scales.append(
-                CompositeLocalGenerator(
-                    output_nc=opt.output_nc,
-                    ngf=opt.ngf_at_scale(s),
-                    n_blocks_local=opt.n_blocks_local,
-                    n_downsample_g=opt.n_downsample_G,
-                    scale=s,
-                    norm=opt.norm,
-                    use_fg=opt.fg,
-                    no_flow=no_flow,
+                define_g(
+                    opt, "compositeLocal", ngf=opt.ngf_at_scale(s), scale=s
                 )
             )
 

@@ -49,6 +49,8 @@ def make_g_step(gen: Vid2VidGenerator, engine: LossEngine, opt, g_tx):
             "use_raw_only", "n_frames_bp", "finetune_all", "first_chunk",
             "chunk_start",
         ),
+        donate_argnums=(0,),  # state buffers update in place (411M-param G:
+        # f32 master + grads + Adam moments would otherwise double-allocate)
     )
     def g_step(
         state: TrainState,
@@ -161,7 +163,9 @@ def make_d_step(engine: LossEngine, opt, d_tx):
 
     tG = opt.n_frames_G
 
-    @functools.partial(jax.jit, static_argnames=("with_raw",))
+    @functools.partial(
+        jax.jit, static_argnames=("with_raw",), donate_argnums=(0,)
+    )
     def d_step(
         state: TrainState,
         enc_a: jax.Array,
@@ -195,7 +199,9 @@ def make_d_step(engine: LossEngine, opt, d_tx):
 def make_dt_step(engine: LossEngine, opt, dt_tx):
     """Temporal discriminator step factory (one scale per call)."""
 
-    @functools.partial(jax.jit, static_argnames=("scale",))
+    @functools.partial(
+        jax.jit, static_argnames=("scale",), donate_argnums=(0,)
+    )
     def dt_step(
         state: TrainState,
         real_groups: jax.Array,

@@ -54,7 +54,7 @@ def device_memory_stats() -> dict:
     stats = {}
     for d in jax.local_devices():
         try:
-            stats[str(d)] = d.memory_stats()
+            stats[str(d)] = d.memory_stats() or {}
         except Exception:
             stats[str(d)] = {}
     return stats
