@@ -114,7 +114,13 @@ def bench_inference():
 
 def bench_train():
     """Full G+D+D_T step rate at 512x256 (canonical train_512 config,
-    reference: scripts/street/train_512.sh + README.md:117-120)."""
+    reference: scripts/street/train_512.sh + README.md:117-120).
+
+    Includes the per-chunk FlowNet2 forward for flow/conf supervision by
+    default (the reference's training always pays it, train.py:60);
+    BENCH_TRAIN_FLOW=0 reverts to the zero-flow stub to isolate the
+    G/D/D_T optimization cost.
+    """
     from vid2vid_tpu.config import Options
     from vid2vid_tpu.data.synthetic import moving_square_clip
     from vid2vid_tpu.train.loop import Trainer
@@ -127,7 +133,17 @@ def bench_train():
         n_frames_total=6, max_frames_per_gpu=2,
         norm="batch", bf16=True, remat=True, isTrain=True, fineSize=width,
     )
-    trainer = Trainer(opt)  # zero-flow flow_fn: flow targets, not FlowNet cost
+    flow_fn = None
+    if os.environ.get("BENCH_TRAIN_FLOW", "1") == "1":
+        from vid2vid_tpu.models.flownet2 import FlowEstimator
+
+        est = FlowEstimator()
+        fparams = est.init(jax.random.key(1))  # random init: cost, not quality
+
+        def flow_fn(real_b, real_b_prev):
+            return est(fparams, real_b, real_b_prev)
+
+    trainer = Trainer(opt, flow_fn=flow_fn)
     state = trainer.init_state(height, width)
     rng = np.random.default_rng(0)
     labels, imgs = moving_square_clip(rng, 8, height, width, n_classes=35)
@@ -156,8 +172,10 @@ def main():
     if os.environ.get("BENCH_TRAIN", "1") == "1":
         try:
             record["train_iters_per_sec"] = round(bench_train(), 3)
+            flow = os.environ.get("BENCH_TRAIN_FLOW", "1") == "1"
             record["train_config"] = (
-                "512x256 bs1 tG3 chunk2 G+D+2xD_T vgg bf16 zero-flow-ref"
+                "512x256 bs1 tG3 chunk2 G+D+2xD_T vgg bf16 "
+                + ("flownet2-ref" if flow else "zero-flow-ref")
             )
         except Exception as e:  # noqa: BLE001 — keep the primary metric
             print(f"train bench failed: {e!r}", file=sys.stderr)

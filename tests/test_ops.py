@@ -207,3 +207,66 @@ class TestChannelNorm:
         got = channel_norm(jnp.asarray(x))
         expected = np.sqrt((x**2).sum(-1, keepdims=True))
         np.testing.assert_allclose(np.asarray(got), expected, atol=1e-5)
+
+
+class TestWarpVariantsAgree:
+    def test_all_warp_formulations_bit_agree(self, rng):
+        from vid2vid_tpu.ops.warp import (
+            flow_warp_im2col,
+            flow_warp_patch,
+            flow_warp_ref,
+        )
+
+        img = jnp.asarray(rng.standard_normal((2, 24, 40, 3)).astype(np.float32))
+        flow = jnp.asarray(
+            (rng.standard_normal((2, 24, 40, 2)) * 9).astype(np.float32)
+        )
+        ref = np.asarray(flow_warp_ref(img, flow))
+        np.testing.assert_allclose(
+            np.asarray(flow_warp_patch(img, flow)), ref, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(flow_warp_im2col(img, flow)), ref, atol=1e-6
+        )
+
+
+class TestConv7Pallas:
+    def test_interpret_matches_xla(self, rng):
+        from vid2vid_tpu.ops.conv7_pallas import conv7_pallas_padded
+
+        x = jnp.asarray(rng.standard_normal((1, 16, 128, 20)).astype(np.float32))
+        k = jnp.asarray(
+            (rng.standard_normal((7, 7, 20, 12)) * 0.05).astype(np.float32)
+        )
+        xp = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)), mode="reflect")
+        want = jax.lax.conv_general_dilated(
+            xp, k, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+        got = conv7_pallas_padded(xp, k, block_rows=8, block_cols=64,
+                                  interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    def test_conv7_reflect_fallback_and_grads(self, rng):
+        """On CPU conv7_reflect uses the XLA path; grads flow through the
+        custom VJP and equal the plain conv's grads."""
+        from vid2vid_tpu.ops.conv7_pallas import (
+            _conv7_reflect_xla,
+            conv7_reflect,
+        )
+
+        x = jnp.asarray(rng.standard_normal((1, 12, 16, 5)).astype(np.float32))
+        k = jnp.asarray(
+            (rng.standard_normal((7, 7, 5, 4)) * 0.05).astype(np.float32)
+        )
+        np.testing.assert_allclose(
+            np.asarray(conv7_reflect(x, k)),
+            np.asarray(_conv7_reflect_xla(x, k)),
+            atol=1e-6,
+        )
+        gx, gk = jax.grad(lambda x, k: jnp.sum(conv7_reflect(x, k) ** 2),
+                          argnums=(0, 1))(x, k)
+        wx, wk = jax.grad(
+            lambda x, k: jnp.sum(_conv7_reflect_xla(x, k) ** 2), argnums=(0, 1)
+        )(x, k)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(wx), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gk), np.asarray(wk), atol=1e-4)

@@ -87,6 +87,8 @@ class FusedConv7(nn.Module):
             )
             bias = bias.at[off : off + co].set(b.astype(x.dtype))
             off += co
+        # plain XLA conv: measured within ~15% of the Pallas-kernel floor
+        # for these shapes on v5e — see ops/conv7_pallas.py for the study
         out = jax.lax.conv_general_dilated(
             reflect_pad(x, 3), kernel, (1, 1), "VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -97,6 +99,122 @@ class FusedConv7(nn.Module):
             outs.append(out[..., off : off + co])
             off += co
         return tuple(outs)
+
+
+class _FusedResPair(nn.Module):
+    """One ResnetBlock step of TWO equal-width branches as dense ops.
+
+    The enhancer scales run the img and flow up-stacks at 32-64 channels,
+    where a single conv fills only half the MXU's 128 lanes (measured on
+    v5e @1024x512: one 64->64 3x3 conv 3.05 ms, the fused dense 128->128
+    3.75 ms vs 6.1 ms for the two separate convs — XLA's grouped conv is
+    slower still at 12-16 ms, hence block-diagonal dense kernels).
+    Per-branch kernels stay separate parameters; the zero off-diagonal
+    blocks make the math exactly two independent residual blocks. Norms
+    are per-channel, so they apply to the channel slices unfused.
+    """
+
+    features: int  # per-branch width
+    norm: str
+
+    def _conv(self, x, tag):
+        c = self.features
+        kernel = jnp.zeros((3, 3, 2 * c, 2 * c), x.dtype)
+        bias = jnp.zeros((2 * c,), x.dtype)
+        for i, br in enumerate(("img", "flow")):
+            k = self.param(
+                f"{br}_conv{tag}_kernel", conv_kernel_init, (3, 3, c, c),
+                jnp.float32,
+            )
+            b = self.param(
+                f"{br}_conv{tag}_bias", nn.initializers.zeros, (c,),
+                jnp.float32,
+            )
+            kernel = kernel.at[:, :, i * c : (i + 1) * c,
+                               i * c : (i + 1) * c].set(k.astype(x.dtype))
+            bias = bias.at[i * c : (i + 1) * c].set(b.astype(x.dtype))
+        return jax.lax.conv_general_dilated(
+            reflect_pad(x, 1), kernel, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + bias
+
+    def _norms(self, x, tag, train):
+        c = self.features
+        return jnp.concatenate(
+            [
+                Norm(self.norm, name=f"img_norm{tag}")(x[..., :c], train),
+                Norm(self.norm, name=f"flow_norm{tag}")(x[..., c:], train),
+            ],
+            -1,
+        )
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        h = nn.relu(self._norms(self._conv(x, "0"), "0", train))
+        h = self._norms(self._conv(h, "1"), "1", train)
+        return x + h
+
+
+class _FusedUpBlockPair(nn.Module):
+    """One UpBlock step (tconv + norm + relu) of two branches, fused.
+
+    Same block-diagonal construction as _FusedResPair; the transpose conv
+    reproduces torch ConvTranspose2d(3, 2, 1, 1) numerics exactly as in
+    nn/layers.py ConvTranspose.
+    """
+
+    features: int  # per-branch output width
+    norm: str
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        ci = x.shape[-1] // 2
+        co = self.features
+        kernel = jnp.zeros((3, 3, 2 * ci, 2 * co), x.dtype)
+        bias = jnp.zeros((2 * co,), x.dtype)
+        for i, br in enumerate(("img", "flow")):
+            k = self.param(
+                f"{br}_kernel", conv_kernel_init, (3, 3, ci, co), jnp.float32
+            )
+            b = self.param(
+                f"{br}_bias", nn.initializers.zeros, (co,), jnp.float32
+            )
+            kernel = kernel.at[:, :, i * ci : (i + 1) * ci,
+                               i * co : (i + 1) * co].set(k.astype(x.dtype))
+            bias = bias.at[i * co : (i + 1) * co].set(b.astype(x.dtype))
+        flipped = kernel[::-1, ::-1]
+        out = jax.lax.conv_general_dilated(
+            x, flipped, (1, 1), ((1, 2), (1, 2)), lhs_dilation=(2, 2),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + bias
+        out = jnp.concatenate(
+            [
+                Norm(self.norm, name="img_norm")(out[..., :co], train),
+                Norm(self.norm, name="flow_norm")(out[..., co:], train),
+            ],
+            -1,
+        )
+        return nn.relu(out)
+
+
+class _FusedUpPair(nn.Module):
+    """img + flow _UpStacks of an enhancer scale, fused layer by layer."""
+
+    ngf: int
+    n_up: int
+    n_res: int
+    norm: str
+
+    @nn.compact
+    def __call__(self, xi: jax.Array, xf: jax.Array, train: bool = False):
+        c = xi.shape[-1]
+        x = jnp.concatenate([xi, xf], -1)
+        for i in range(self.n_res):
+            x = _FusedResPair(c, self.norm, name=f"res{i}")(x, train)
+        for i in range(self.n_up):
+            c = self.ngf * 2 ** (self.n_up - 1 - i)
+            x = _FusedUpBlockPair(c, self.norm, name=f"up{i}")(x, train)
+        return x[..., :c], x[..., c:]
 
 
 class _TrunkTail(nn.Module):
@@ -254,14 +372,16 @@ class CompositeLocalGenerator(nn.Module):
             stems[0], train
         ) + _TrunkTail(ngf, 1, 0, self.norm, name="down_img")(stems[1], train)
 
-        img_feat = _UpStack(ngf, 1, nbl, self.norm, name="up_img")(
-            d + coarse.img_feat, train
-        )
         flow_feat = None
-        if not self.no_flow:
-            flow_feat = _UpStack(ngf, 1, nbl, self.norm, name="up_flow")(
-                d + coarse.flow_feat, train
+        if self.no_flow:
+            img_feat = _UpStack(ngf, 1, nbl, self.norm, name="up_img")(
+                d + coarse.img_feat, train
             )
+        else:
+            # the two equal-width up-stacks run fused (see _FusedUpPair)
+            img_feat, flow_feat = _FusedUpPair(
+                ngf, 1, nbl, self.norm, name="up_pair"
+            )(d + coarse.img_feat, d + coarse.flow_feat, train)
         fg_feat = None
         if self.use_fg:
             h = _TrunkTail(ngf_i, 1, 0, self.norm, name="fg_down")(

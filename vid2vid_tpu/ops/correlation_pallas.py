@@ -92,8 +92,15 @@ def correlation_pallas(
 
 
 # Measured on TPU v5e at FlowNetC shapes (1, 128, 256, 256): this kernel
-# 3.7 ms vs 1.9 ms for the fused XLA displacement scan in correlation.py —
-# the full-width row matmul does ~4x the arithmetic of the 21-displacement
-# band, so the scan remains the default. The kernel is kept as the MXU
-# formulation baseline for future banding work (tile x and restrict x2 to
-# [x-20, x+20] to reclaim the 4x).
+# 3.7 ms vs 1.9 ms for the fused XLA displacement scan in correlation.py,
+# so the scan remains the default. Why banding cannot close the gap: the
+# useful work is H*W*441*C*2 = 7.4 GFLOP; the XLA scan runs it on the VPU
+# at ~4 TFLOP/s bf16 ==> ~1.85 ms, i.e. the scan already sits at VPU
+# speed-of-light. In the MXU formulation the row-pair matmul itself is
+# nearly free (<0.1 ms at MXU peak), but extracting the 21 stride-2
+# diagonals from each (8, W, W) product is a VPU masked-reduction pass
+# over W/42x redundant data — banding x2 to [x-20, x+20] shrinks the
+# matmul, not the extraction, which still costs more VPU traffic than the
+# whole scan. A kernel that beats the scan would need the displacement
+# axis as the matmul N dim, which the moving f2 window makes impossible
+# without per-x gather (im2col) costs exceeding the scan itself.

@@ -1,11 +1,9 @@
-"""Space-to-depth packed convolution — exact 7x7/stride-1 conv at ~3x speed.
+"""Space-to-depth packed convolution — exact KxK/stride-1 conv reshaping.
 
-On TPU v5e, a stride-1 KxK conv at high resolution costs ~K^2 passes over
-the image regardless of channel counts (measured: 7x7 at 2048x1024 takes
-~20 ms whether C_out is 3 or 128). Packing 2x2 pixel blocks into channels
-(space-to-depth) re-expresses the same conv as a ceil((K+1)/2)+1-tap conv
-over a quarter-resolution, 4x-channel tensor — identical math, ~(K/2+1)^2
-/ K^2 the passes, and channel counts that fill the MXU.
+Packing 2x2 pixel blocks into channels (space-to-depth) re-expresses a
+KxK stride-1 conv as a (K//2+1)-tap conv over a quarter-resolution,
+4x-channel tensor — identical math with fewer kernel taps and channel
+counts that fill the MXU better.
 
 Exactness: `pack_conv_kernel` rearranges the original HWIO kernel into the
 packed kernel such that
@@ -13,9 +11,17 @@ packed kernel such that
     depth_to_space(conv_valid(space_to_depth(pad(x)), K')) ==
         conv_valid(pad(x), K)
 
-bit-for-bit (same dot-product terms, reassociated only across the 2x2
-phase grouping). Used for the full-resolution stems and output heads of
-the composite generators.
+bit-for-bit in f32 (same dot-product terms, reassociated only across the
+2x2 phase grouping).
+
+Measured on v5e (bf16, amortized): the packing does NOT pay for the
+generator's full-resolution stems (7x7 114->80 @2048x1024: packed
+36.4 ms vs plain XLA 29.3 ms — the repack relayouts cost more than the
+saved passes), and wins modestly on the tiny-output heads (80->9: packed
+21.4 ms vs 26.5 ms). It is therefore NOT wired into the composite
+generators' FusedConv7 (see ops/conv7_pallas.py for the kernel that is);
+it remains available as a building block and is parity-tested in
+tests/test_packed_conv.py.
 """
 
 from __future__ import annotations

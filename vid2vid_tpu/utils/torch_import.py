@@ -198,6 +198,48 @@ def composite_generator_mapping(
     return out
 
 
+def _fused_up_pair(n_res: int, norm: str) -> list[Triple]:
+    """torch model_up_img + model_up_flow -> our fused `up_pair` module.
+
+    Per-branch params keep 1:1 torch correspondence; only their home moved
+    from two _UpStacks into _FusedUpPair's res{k}/up{i} blocks
+    (nn/composite.py), where the convs execute as block-diagonal dense ops.
+    """
+    out: list[Triple] = []
+    for br, tkey in (("img", "model_up_img"), ("flow", "model_up_flow")):
+        for k in range(n_res):
+            blk = ("up_pair", f"res{k}")
+            for j, tconv in ((0, 1), (1, 5)):
+                out += [
+                    (
+                        f"{tkey}.{k}.conv_block.{tconv}.weight",
+                        ("params", *blk, f"{br}_conv{j}_kernel"), "conv",
+                    ),
+                    (
+                        f"{tkey}.{k}.conv_block.{tconv}.bias",
+                        ("params", *blk, f"{br}_conv{j}_bias"), "copy",
+                    ),
+                ]
+                out += _norm(
+                    f"{tkey}.{k}.conv_block.{tconv + 1}",
+                    (*blk, f"{br}_norm{j}"), norm,
+                )
+        out += [
+            (
+                f"{tkey}.{n_res}.weight",
+                ("params", "up_pair", "up0", f"{br}_kernel"), "convT",
+            ),
+            (
+                f"{tkey}.{n_res}.bias",
+                ("params", "up_pair", "up0", f"{br}_bias"), "copy",
+            ),
+        ]
+        out += _norm(
+            f"{tkey}.{n_res + 1}", ("up_pair", "up0", f"{br}_norm"), norm
+        )
+    return out
+
+
 def composite_local_mapping(
     n_blocks_local: int = 3,
     norm: str = "batch",
@@ -208,9 +250,10 @@ def composite_local_mapping(
     out: list[Triple] = _fused_stem(use_fg)
     out += _trunk_tail("model_down_seg", ("down_seg",), 1, 0, norm)
     out += _trunk_tail("model_down_img", ("down_img",), 1, 0, norm)
-    out += _upstack_res("model_up_img", ("up_img",), n_blocks_local, 1, norm)
-    if not no_flow:
-        out += _upstack_res("model_up_flow", ("up_flow",), n_blocks_local, 1, norm)
+    if no_flow:
+        out += _upstack_res("model_up_img", ("up_img",), n_blocks_local, 1, norm)
+    else:
+        out += _fused_up_pair(n_blocks_local, norm)
     if use_fg:
         out += _trunk_tail("indv_down", ("fg_down",), 1, 0, norm)
         out += _upstack_res("indv_up", ("fg_up",), n_blocks_local, 1, norm)
