@@ -138,7 +138,9 @@ def bench_train():
         from vid2vid_tpu.models.flownet2 import FlowEstimator
 
         est = FlowEstimator()
-        fparams = est.init(jax.random.key(1))  # random init: cost, not quality
+        # random init: measures cost, not flow quality; jit — eager init
+        # dispatches op-by-op through the remote tunnel (~140 s)
+        fparams = jax.jit(est.init)(jax.random.key(1))
 
         def flow_fn(real_b, real_b_prev):
             return est(fparams, real_b, real_b_prev)

@@ -27,6 +27,10 @@ class FlowEstimator:
     def __init__(self, conf_threshold: float = 0.02):
         self.net = FlowNet2()
         self.conf_threshold = conf_threshold
+        # jit here, not at call sites: an eager FlowNet2 forward dispatches
+        # hundreds of ops individually (catastrophic on remote platforms),
+        # and every Trainer chunk calls this once per chunk
+        self._compute = jax.jit(self._compute)
 
     def init(self, key: jax.Array, height: int = 64, width: int = 64):
         h, w = make_divisible(height, 64) or 64, make_divisible(width, 64) or 64

@@ -3,7 +3,9 @@
 - console + append-only loss_log.txt
 - per-epoch image dumps to checkpoints/<name>/web/images + an HTML gallery
 - test-time image saving under results/
-- optional scalar logging to a TSV (tf_log equivalent without TF)
+- `--tf_log`: TensorBoard event files (scalars + images, mirroring the
+  reference's TF1 summary writer, reference: util/visualizer.py:21-55) when
+  a tensorboard backend is importable, plus a plain scalars.tsv always
 """
 
 from __future__ import annotations
@@ -35,6 +37,16 @@ class Visualizer:
             if opt.tf_log
             else None
         )
+        self.tb = None
+        if opt.tf_log:
+            try:  # torch ships the writer; tensorboard provides the backend
+                from torch.utils.tensorboard import SummaryWriter
+
+                self.tb = SummaryWriter(
+                    os.path.join(opt.checkpoints_dir, opt.name, "logs")
+                )
+            except Exception:  # noqa: BLE001 — TSV fallback stays active
+                self.tb = None
 
     # ------------------------------------------------------------------ loss
 
@@ -52,6 +64,9 @@ class Visualizer:
             with open(self.scalar_log, "a") as fh:
                 for k, v in errors.items():
                     fh.write(f"{step}\t{k}\t{v}\n")
+        if self.tb is not None:
+            for k, v in errors.items():
+                self.tb.add_scalar(k, float(v), step)
 
     def vis_print(self, message):
         print(message)
@@ -67,6 +82,8 @@ class Visualizer:
                 continue
             path = os.path.join(self.img_dir, f"epoch{epoch:03d}_{label}.jpg")
             Image.fromarray(image).save(path)
+            if self.tb is not None:
+                self.tb.add_image(label, image, step, dataformats="HWC")
 
         gallery = HTMLGallery(self.web_dir, f"Experiment name = {self.name}")
         for e in range(epoch, 0, -1):
