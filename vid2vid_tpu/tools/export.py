@@ -57,9 +57,13 @@ def build_exported(opt, params, batch: int, height: int, width: int):
             cast_pytree(p, dt), enc.astype(dt), cast_pytree(s, dt),
             use_raw_only=False, train=False,
         )
-        return (outs.fake[:, 0].astype(jnp.float32),) + tuple(
-            jax.tree.leaves(new_state)
+        # state round-trips through the fixed exported signature: cast the
+        # compute-dtype carry back to the initial-state dtypes
+        new_leaves = tuple(
+            leaf.astype(ref.dtype)
+            for leaf, ref in zip(jax.tree.leaves(new_state), state_leaves)
         )
+        return (outs.fake[:, 0].astype(jnp.float32),) + new_leaves
 
     label_spec = jax.ShapeDtypeStruct((batch, tg, height, width), jnp.int32)
     arg_specs = (
