@@ -169,7 +169,7 @@ def _build_flow_fn(opt):
     if os.path.isdir(weights_path):
         import orbax.checkpoint as ocp
 
-        template = est.init(jax.random.key(0))
+        template = jax.jit(est.init)(jax.random.key(0))
         params = ocp.PyTreeCheckpointer().restore(
             os.path.abspath(weights_path), item=template
         )
@@ -180,9 +180,12 @@ def _build_flow_fn(opt):
             "will be weak; convert the published checkpoint with "
             "vid2vid_tpu.utils.torch_import)."
         )
-        params = est.init(jax.random.key(0))
-    fn = jax.jit(lambda a, b: est(params, a, b))
-    return lambda a, b: fn(a, b)
+        params = jax.jit(est.init)(jax.random.key(0))
+    # NO closure-jit here: capturing params in the closure bakes all 162M
+    # weights into the HLO as constants (oversized executables; remote
+    # compile rejects the body outright). FlowEstimator jits internally
+    # with params passed as an argument.
+    return lambda a, b: est(params, a, b)
 
 
 if __name__ == "__main__":
