@@ -16,8 +16,8 @@ Grounding (extra keys in the same JSON object):
     512x256, n_frames_total 6 (BASELINE.json's second driver metric),
     VGG + temporal losses included, bf16 compute.
 
-Env knobs: BENCH_H/W/FRAMES/REPS/BF16, BENCH_TRAIN=0 to skip the train
-bench, BENCH_PEAK_TFLOPS.
+Env knobs: BENCH_H/W/FRAMES/REPS/BF16/BATCH, BENCH_TRAIN=0 to skip the
+train bench, BENCH_TRAIN_FLOW=0 for the zero-flow stub, BENCH_PEAK_TFLOPS.
 """
 
 import json
@@ -68,7 +68,7 @@ def bench_inference():
         isTrain=False,
     )
     eng = InferenceEngine(opt)
-    b = 1
+    b = int(os.environ.get("BENCH_BATCH", 1))
     params = eng.init(jax.random.key(0), b, height, width)
 
     rng = np.random.default_rng(0)
@@ -94,7 +94,7 @@ def bench_inference():
         outs, _ = eng.generate_clip(params, enc, state)
         _ = float(outs.fake[0, -1].mean())
     dt = (time.perf_counter() - t0) / n_rep
-    fps = frames / dt
+    fps = b * frames / dt
 
     # per-frame FLOPs: XLA's cost_analysis counts a lax.scan body ONCE
     # regardless of trip count (measured: T=1/2/4 clips all report the same
@@ -106,9 +106,12 @@ def bench_inference():
     extras = {}
     if flops_per_frame:
         peak = float(os.environ.get("BENCH_PEAK_TFLOPS", 197.0)) * 1e12
-        extras["flops_per_frame_T"] = round(flops_per_frame / 1e12, 3)
-        extras["mfu_pct"] = round(100.0 * flops_per_frame * fps / peak, 2)
+        per_sample = flops_per_frame / b  # cost_analysis counts the whole batch
+        extras["flops_per_frame_T"] = round(per_sample / 1e12, 3)
+        extras["mfu_pct"] = round(100.0 * per_sample * fps / peak, 2)
         extras["peak_tflops"] = peak / 1e12
+        if b > 1:
+            extras["batch"] = b
     return fps, (height, width), extras
 
 
