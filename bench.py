@@ -79,19 +79,27 @@ def bench_inference():
     inst = jnp.asarray(
         rng.integers(0, 4, (b, frames + tG - 1, height, width)), jnp.int32
     )
-    enc = eng.encode(labels, inst)
     state = eng.initial_state(b, height, width)
+    streaming = os.environ.get("BENCH_STREAMING", "1") == "1"
+    if streaming:
+        # raw-label path: one-hot/edge encoding + pyramid stay inside the
+        # scan (rolling window carry) — the clip-wide encoded pyramid is
+        # never resident in HBM
+        run = lambda: eng.generate_clip_raw(params, labels, inst, state)
+    else:
+        enc = eng.encode(labels, inst)
+        run = lambda: eng.generate_clip(params, enc, state)
 
     # compile + warmup; NOTE: on the axon remote platform block_until_ready
     # does not synchronize — a host readback (float()) is the only reliable
     # completion barrier, so we time through a scalar checksum.
-    outs, _ = eng.generate_clip(params, enc, state)
+    outs, _ = run()
     _ = float(outs.fake[0, -1].mean())
 
     n_rep = int(os.environ.get("BENCH_REPS", 3))
     t0 = time.perf_counter()
     for _ in range(n_rep):
-        outs, _ = eng.generate_clip(params, enc, state)
+        outs, _ = run()
         _ = float(outs.fake[0, -1].mean())
     dt = (time.perf_counter() - t0) / n_rep
     fps = b * frames / dt
@@ -99,10 +107,15 @@ def bench_inference():
     # per-frame FLOPs: XLA's cost_analysis counts a lax.scan body ONCE
     # regardless of trip count (measured: T=1/2/4 clips all report the same
     # total), so lower a 1-frame clip — body flops == per-frame flops there.
-    enc1 = enc[:, : tG]
-    flops_per_frame = _cost_analysis_flops(
-        eng._clip_fn, params, enc1, state, False
-    )
+    if streaming:
+        flops_per_frame = _cost_analysis_flops(
+            eng._clip_raw_fn, params, labels[:, :tG], inst[:, :tG], state,
+            False, True,
+        )
+    else:
+        flops_per_frame = _cost_analysis_flops(
+            eng._clip_fn, params, enc[:, :tG], state, False
+        )
     extras = {}
     if flops_per_frame:
         peak = float(os.environ.get("BENCH_PEAK_TFLOPS", 197.0)) * 1e12

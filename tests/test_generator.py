@@ -220,3 +220,61 @@ class TestScanMatchesEagerOracle:
         np.testing.assert_allclose(
             np.asarray(outs.fake), np.asarray(oracle), atol=2e-5
         )
+
+
+class TestStreamingClip:
+    """generate_clip_streaming == encode_input + generate_clip, exactly."""
+
+    @pytest.mark.parametrize("n_scales,use_inst,fg", [
+        (1, False, False), (2, True, True),
+    ])
+    def test_matches_precomputed(self, rng, n_scales, use_inst, fg):
+        opt = small_opt(
+            n_scales_spatial=n_scales, use_instance=use_inst,
+            fg=fg, fg_labels=(2,),
+        )
+        gen = Vid2VidGenerator(opt)
+        b, t, h, w = 1, 4, 32, 32
+        params = gen.init(jax.random.key(0), b, h, w)
+        tG = opt.n_frames_G
+        labels = jnp.asarray(
+            rng.integers(0, 6, (b, t + tG - 1, h, w)), jnp.int32
+        )
+        inst = (
+            jnp.asarray(rng.integers(0, 3, (b, t + tG - 1, h, w)), jnp.int32)
+            if use_inst else None
+        )
+        state = gen.zero_state(b, h, w)
+
+        enc = gen.encode_input(labels, inst)
+        outs_ref, st_ref = gen.generate_clip(params, enc, state)
+        outs_str, st_str = gen.generate_clip_streaming(
+            params, labels, inst, state
+        )
+        np.testing.assert_allclose(
+            np.asarray(outs_str.fake), np.asarray(outs_ref.fake), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(outs_str.raw), np.asarray(outs_ref.raw), atol=1e-6
+        )
+        for a, bb in zip(jax.tree.leaves(st_str), jax.tree.leaves(st_ref)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(bb), atol=1e-6)
+
+    def test_engine_raw_clip(self, rng):
+        from vid2vid_tpu.models.inference import InferenceEngine
+
+        opt = small_opt(n_scales_spatial=2, use_instance=True, isTrain=False)
+        eng = InferenceEngine(opt)
+        b, t, h, w = 1, 3, 32, 32
+        params = eng.init(jax.random.key(0), b, h, w)
+        tG = opt.n_frames_G
+        labels = jnp.asarray(
+            rng.integers(0, 6, (b, t + tG - 1, h, w)), jnp.int32
+        )
+        inst = jnp.asarray(rng.integers(0, 3, (b, t + tG - 1, h, w)), jnp.int32)
+        state = eng.initial_state(b, h, w)
+        outs_ref, _ = eng.generate_clip(params, eng.encode(labels, inst), state)
+        outs_raw, _ = eng.generate_clip_raw(params, labels, inst, state)
+        np.testing.assert_allclose(
+            np.asarray(outs_raw.fake), np.asarray(outs_ref.fake), atol=1e-6
+        )

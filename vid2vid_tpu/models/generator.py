@@ -187,67 +187,21 @@ class Vid2VidGenerator:
             for p in build_pyramid_video(enc_A, n_scales)
         ]
         no_flow = opt.effective_no_flow
-        c_out = opt.output_nc
 
         # ring buffers kept channel-stacked (B, H, W, (tG-1)*3)
         state = tuple(stack_time(s) for s in state)
 
         def body(bufs, t):
-            if train and n_frames_bp > 0:
-                detach = (t % n_frames_bp) == 0
-                bufs_in = tuple(
-                    jnp.where(detach, jax.lax.stop_gradient(b), b) for b in bufs
-                )
-            else:
-                bufs_in = bufs
-
-            coarse: CompositeOut | None = None
-            finest: CompositeOut | None = None
-            new_bufs = list(bufs)
-            for s in range(n_scales):
-                si = n_scales - 1 - s
-                win = jax.lax.dynamic_slice_in_dim(a_pyr[si], t, tG, axis=3)
-                b_, h_, w_ = win.shape[:3]
-                lab = win.reshape(b_, h_, w_, -1)
-                prev = bufs_in[si]
-                mask = (
-                    fg_mask_from_onehot(win[:, :, :, tG - 1], opt.fg_labels)
-                    if opt.fg
-                    else None
-                )
-                if s == 0:
-                    apply0 = lambda p, a, b, m: self.scales[0].apply(
-                        p, a, b, m, use_raw_only, train
-                    )
-                    if self.opt.remat and train:
-                        apply0 = jax.checkpoint(apply0)
-                    out = apply0(params["G0"], lab, prev, mask)
-                else:
-                    apply_s = (
-                        lambda p, a, b, c_, m, _s=s: self.scales[_s].apply(
-                            p, a, b, c_, m, use_raw_only, train
-                        )
-                    )
-                    if self.opt.remat and train:
-                        apply_s = jax.checkpoint(apply_s)
-                    out = apply_s(params[f"G{s}"], lab, prev, coarse, mask)
-                if train and s != n_scales - 1 and not finetune_all:
-                    out = jax.tree.map(jax.lax.stop_gradient, out)
-                coarse = out
-                # ring-buffer append on the *stored* (gradient-connected) bufs
-                new_bufs[si] = jnp.concatenate(
-                    [bufs[si][..., c_out:], out.img_final], axis=-1
-                )
-                if s == n_scales - 1:
-                    finest = out
-
-            ys = (
-                finest.img_final,
-                finest.img_raw,
-                finest.flow if not no_flow else jnp.zeros(()),
-                finest.weight if not no_flow else jnp.zeros(()),
+            wins = [
+                jax.lax.dynamic_slice_in_dim(a_pyr[si], t, tG, axis=3)
+                for si in range(n_scales)
+            ]
+            new_bufs, ys = self._frame_pass(
+                params, wins, bufs, t,
+                use_raw_only=use_raw_only, train=train,
+                n_frames_bp=n_frames_bp, finetune_all=finetune_all,
             )
-            return tuple(new_bufs), ys
+            return new_bufs, ys
 
         final_state, (fake, raw, flow, weight) = jax.lax.scan(
             body, state, jnp.arange(n_frames)
@@ -262,4 +216,172 @@ class Vid2VidGenerator:
         )
         new_state = tuple(unstack_time(s, tG - 1) for s in final_state)
         new_state = jax.tree.map(jax.lax.stop_gradient, new_state)
+        return outputs, new_state
+
+    def _frame_pass(
+        self, params, wins, bufs, t, *,
+        use_raw_only, train, n_frames_bp, finetune_all,
+    ):
+        """One frame through the coarse-to-fine scale stack.
+
+        wins: per-scale (B, H, W, tG, C) encoded windows, finest first;
+        bufs: per-scale channel-stacked (tG-1)-frame ring buffers.
+        Returns (new_bufs, (fake, raw, flow, weight)).
+        """
+        opt = self.opt
+        tG, n_scales = self.tG, self.n_scales
+        c_out = opt.output_nc
+        no_flow = opt.effective_no_flow
+
+        if train and n_frames_bp > 0:
+            detach = (t % n_frames_bp) == 0
+            bufs_in = tuple(
+                jnp.where(detach, jax.lax.stop_gradient(b), b) for b in bufs
+            )
+        else:
+            bufs_in = bufs
+
+        coarse: CompositeOut | None = None
+        finest: CompositeOut | None = None
+        new_bufs = list(bufs)
+        for s in range(n_scales):
+            si = n_scales - 1 - s
+            win = wins[si]
+            b_, h_, w_ = win.shape[:3]
+            lab = win.reshape(b_, h_, w_, -1)
+            prev = bufs_in[si]
+            mask = (
+                fg_mask_from_onehot(win[:, :, :, tG - 1], opt.fg_labels)
+                if opt.fg
+                else None
+            )
+            if s == 0:
+                apply0 = lambda p, a, b, m: self.scales[0].apply(
+                    p, a, b, m, use_raw_only, train
+                )
+                if self.opt.remat and train:
+                    apply0 = jax.checkpoint(apply0)
+                out = apply0(params["G0"], lab, prev, mask)
+            else:
+                apply_s = (
+                    lambda p, a, b, c_, m, _s=s: self.scales[_s].apply(
+                        p, a, b, c_, m, use_raw_only, train
+                    )
+                )
+                if self.opt.remat and train:
+                    apply_s = jax.checkpoint(apply_s)
+                out = apply_s(params[f"G{s}"], lab, prev, coarse, mask)
+            if train and s != n_scales - 1 and not finetune_all:
+                out = jax.tree.map(jax.lax.stop_gradient, out)
+            coarse = out
+            # ring-buffer append on the *stored* (gradient-connected) bufs
+            new_bufs[si] = jnp.concatenate(
+                [bufs[si][..., c_out:], out.img_final], axis=-1
+            )
+            if s == n_scales - 1:
+                finest = out
+
+        ys = (
+            finest.img_final,
+            finest.img_raw,
+            finest.flow if not no_flow else jnp.zeros(()),
+            finest.weight if not no_flow else jnp.zeros(()),
+        )
+        return tuple(new_bufs), ys
+
+    def generate_clip_streaming(
+        self,
+        params,
+        labels: jax.Array,
+        inst: jax.Array | None,
+        state,
+        *,
+        use_raw_only: bool = False,
+        compute_dtype=None,
+    ):
+        """Inference clip from RAW conditioning, encoding inside the scan.
+
+        Identical math to `encode_input` + `generate_clip`, but the one-hot
+        /edge encoding and its spatial pyramid are never materialized for
+        the whole clip: the scan carries a rolling tG-frame encoded-window
+        pyramid and encodes exactly one new frame per step. At 2048x1024
+        this trades a ~3 GB resident clip pyramid (35-class one-hot x
+        T frames x 3 scales, the dominant HBM allocation — SURVEY hard part
+        #4) for a ~0.7 GB carry, with the same per-frame compute (each
+        frame is still encoded once).
+
+        labels: (B, T+tG-1, H, W) int labels (or (..., C) float maps);
+        inst: matching instance ids or None. Inference-only (no BPTT args).
+        """
+        opt = self.opt
+        tG, n_scales = self.tG, self.n_scales
+        t_total = labels.shape[1]
+        n_frames = t_total - (tG - 1)
+        no_flow = opt.effective_no_flow
+
+        def encode_frame(lab_f, inst_f):
+            """(B, H, W[, C]) raw frame -> per-scale (B, H, W, 1, C) list."""
+            enc = self.encode_input(
+                lab_f[:, None], None if inst_f is None else inst_f[:, None]
+            )
+            if compute_dtype is not None:
+                enc = enc.astype(compute_dtype)
+            return [
+                jnp.transpose(p, (0, 2, 3, 1, 4))
+                for p in build_pyramid_video(enc, n_scales)
+            ]
+
+        def frame_at(arr, t):
+            return jax.lax.dynamic_index_in_dim(arr, t, axis=1, keepdims=False)
+
+        # prefill: leading window slots are zero placeholders that shift out
+        # before first use
+        first = encode_frame(
+            frame_at(labels, 0), None if inst is None else frame_at(inst, 0)
+        )
+        wins = [
+            jnp.concatenate(
+                [jnp.zeros_like(first[si])] * (tG - 1) + [first[si]], axis=3
+            )
+            for si in range(n_scales)
+        ]
+        for k in range(1, tG - 1):
+            nxt = encode_frame(
+                frame_at(labels, k), None if inst is None else frame_at(inst, k)
+            )
+            wins = [
+                jnp.concatenate([wins[si][:, :, :, 1:], nxt[si]], axis=3)
+                for si in range(n_scales)
+            ]
+
+        state = tuple(stack_time(s) for s in state)
+
+        def body(carry, t):
+            bufs, wins = carry
+            nxt = encode_frame(
+                frame_at(labels, t + tG - 1),
+                None if inst is None else frame_at(inst, t + tG - 1),
+            )
+            wins = tuple(
+                jnp.concatenate([wins[si][:, :, :, 1:], nxt[si]], axis=3)
+                for si in range(n_scales)
+            )
+            new_bufs, ys = self._frame_pass(
+                params, list(wins), bufs, t,
+                use_raw_only=use_raw_only, train=False,
+                n_frames_bp=0, finetune_all=True,
+            )
+            return (new_bufs, wins), ys
+
+        (final_state, _), (fake, raw, flow, weight) = jax.lax.scan(
+            body, (state, tuple(wins)), jnp.arange(n_frames)
+        )
+        tm = lambda x: jnp.swapaxes(x, 0, 1)
+        outputs = ClipOutputs(
+            tm(fake),
+            tm(raw),
+            None if no_flow else tm(flow),
+            None if no_flow else tm(weight),
+        )
+        new_state = tuple(unstack_time(s, tG - 1) for s in final_state)
         return outputs, new_state

@@ -77,6 +77,7 @@ class InferenceEngine:
         self.gen = Vid2VidGenerator(opt)
         self.compute_dtype = jnp.bfloat16 if (opt.bf16 or opt.fp16) else jnp.float32
         self._clip_fn = None
+        self._clip_raw_fn = None
         self._step_fn = None
 
     # ------------------------------------------------------------------ init
@@ -135,6 +136,34 @@ class InferenceEngine:
 
             self._clip_fn = fn
         return self._clip_fn(params, enc_a, state, use_raw_only)
+
+    def generate_clip_raw(self, params, labels, inst, state, use_raw_only=False):
+        """Clip from RAW labels/instances — encodes inside the scan.
+
+        Preferred serving path at high resolution: the clip-wide one-hot
+        pyramid is never materialized (see generate_clip_streaming).
+        """
+        if self._clip_raw_fn is None:
+            dt = self.compute_dtype
+
+            @partial(jax.jit, static_argnames=("use_raw_only", "has_inst"))
+            def fn(params, labels, inst, state, use_raw_only, has_inst):
+                params = cast_pytree(params, dt)
+                state = cast_pytree(state, dt)
+                outs, new_state = self.gen.generate_clip_streaming(
+                    params, labels, inst if has_inst else None, state,
+                    use_raw_only=use_raw_only, compute_dtype=dt,
+                )
+                return (
+                    jax.tree.map(lambda x: x.astype(jnp.float32), outs),
+                    new_state,
+                )
+
+            self._clip_raw_fn = fn
+        has_inst = inst is not None
+        if inst is None:
+            inst = jnp.zeros((1,), jnp.int32)  # placeholder, unused when has_inst=False
+        return self._clip_raw_fn(params, labels, inst, state, use_raw_only, has_inst)
 
     # ------------------------------------------------------------------ step
 
