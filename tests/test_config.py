@@ -30,7 +30,7 @@ REFERENCE_TRAIN_FLAGS = [
     "--n_layers_D", "--no_vgg", "--no_ganFeat", "--lambda_feat", "--sparse_D",
     "--lambda_T", "--lambda_F", "--n_frames_D", "--n_scales_temporal",
     "--max_frames_per_gpu", "--max_frames_backpropagate", "--max_t_step",
-    "--n_frames_total",
+    "--n_frames_total", "--no_html",
 ]
 REFERENCE_TEST_FLAGS = [
     "--how_many", "--use_real_img", "--start_frame", "--results_dir",

@@ -95,6 +95,26 @@ class TestTemporalDataset:
         assert frames[0]["change_seq"] and not frames[1]["change_seq"]
         assert frames[8]["change_seq"]
 
+    def test_test_stream_start_frame(self, tmp_path):
+        """--start_frame offsets the first sequence's stream only
+        (reference: data/base_dataset.py:31,50-52)."""
+        write_temporal_dataset(str(tmp_path))
+        for sub in ("test_A", "test_B"):
+            os.symlink(
+                os.path.join(tmp_path, sub.replace("test", "train")),
+                os.path.join(tmp_path, sub),
+            )
+        opt = Options(
+            dataroot=str(tmp_path), label_nc=5, isTrain=False,
+            loadSize=64, fineSize=64, dataset_mode="test", n_frames_G=3,
+            start_frame=3,
+        )
+        frames = list(create_dataset(opt))
+        assert len(frames) == 5 + 8  # seq0 frames 3..7, seq1 all 8
+        assert frames[0]["change_seq"] and frames[0]["path"].endswith("00003.png")
+        assert frames[5]["change_seq"] and frames[5]["path"].endswith("00000.png")
+        assert not any(f["change_seq"] for f in frames[1:5] + frames[6:])
+
 
 class TestKeypointRaster:
     def test_interp_curve_linear(self):

@@ -104,9 +104,7 @@ class TestSkippedFrames:
         flow = jnp.arange(6, dtype=jnp.float32).reshape(1, 6, 1, 1, 1)
         flow = jnp.broadcast_to(flow, (1, 6, 2, 2, 2))
         conf = jnp.ones((1, 6, 2, 2, 1))
-        fa, ca, fs, cs = skipped_flows(
-            None, None, flow, conf, [None, None], t_scales, td
-        )
+        fa, ca, fs, cs = skipped_flows(None, None, flow, conf, t_scales, td)
         assert fs[0].shape == (2, td - 1, 2, 2, 2)
         assert cs[0].shape == (2, td - 1, 2, 2, 1)
 

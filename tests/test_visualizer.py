@@ -41,6 +41,17 @@ class TestVisualizer:
         logs = tmp_path / "vistest" / "logs"
         assert any(f.startswith("events.") for f in os.listdir(logs))
 
+    def test_no_html_skips_gallery(self, tmp_path):
+        """--no_html gates the web/ gallery (reference: util/visualizer.py:18)."""
+        opt = _Opt(tmp_path)
+        opt.no_html = True
+        v = Visualizer(opt)
+        v.display_current_results(
+            {"real": np.full((8, 8, 3), 128, np.uint8)}, 1, 1
+        )
+        assert not (tmp_path / "vistest" / "web" / "index.html").exists()
+        assert not (tmp_path / "vistest" / "web" / "images").exists()
+
     def test_gallery_and_test_images(self, tmp_path):
         v = Visualizer(_Opt(tmp_path))
         v.display_current_results(

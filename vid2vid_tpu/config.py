@@ -90,6 +90,7 @@ class Options:
     fp16: bool = False  # CLI-compat alias for bf16 mixed precision on TPU
     local_rank: int = 0
     tf_log: bool = False
+    no_html: bool = False  # skip the web/ HTML gallery (reference: util/visualizer.py:18)
     display_winsize: int = 512
     display_id: int = 0
 

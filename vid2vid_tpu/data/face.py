@@ -253,7 +253,10 @@ class FaceTestStream:
             crop_box = face_crop_box(points0, size)
             y0, y1, x0, x1 = crop_box
             params = get_img_params(opt, (x1 - x0, y1 - y0))
-            for idx in range(len(kp_paths)):
+            # --start_frame offsets the first sequence only (reference:
+            # data/base_dataset.py:31,50-52)
+            start = min(opt.start_frame, len(kp_paths) - 1) if seq == 0 else 0
+            for idx in range(start, len(kp_paths)):
                 a, b, label = self.ds._build_frame(
                     kp_paths[idx], img_paths[idx], opt, params, size, crop_box
                 )
@@ -261,7 +264,7 @@ class FaceTestStream:
                     "A": a,
                     "B": b,
                     "inst": label,
-                    "change_seq": idx == 0,
+                    "change_seq": idx == start,
                     "path": kp_paths[idx],
                     "seq": seq,
                 }

@@ -209,7 +209,10 @@ class PoseTestStream:
             from vid2vid_tpu.data.transforms import get_img_params
 
             params = get_img_params(opt, size)
-            for idx in range(len(img_paths)):
+            # --start_frame offsets the first sequence only (reference:
+            # data/base_dataset.py:31,50-52)
+            start = min(opt.start_frame, len(img_paths) - 1) if seq == 0 else 0
+            for idx in range(start, len(img_paths)):
                 a = self.ds._load_conditioning(seq, idx, size, params)
                 img = Image.open(img_paths[idx]).convert("RGB")
                 from vid2vid_tpu.data.transforms import apply_transform
@@ -221,7 +224,7 @@ class PoseTestStream:
                     "A": central_crop(a),
                     "B": central_crop(b),
                     "inst": None,
-                    "change_seq": idx == 0,
+                    "change_seq": idx == start,
                     "path": img_paths[idx],
                     "seq": seq,
                 }

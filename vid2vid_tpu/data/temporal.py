@@ -115,7 +115,10 @@ class TestTemporalStream:
         for seq_idx, seq in enumerate(self.a_paths):
             with Image.open(seq[0]) as probe:
                 params = get_img_params(opt, probe.size)
-            for frame_idx in range(len(seq)):
+            # --start_frame offsets the FIRST sequence's stream; later
+            # sequences restart at 0 (reference: data/base_dataset.py:31,50-52)
+            start = min(opt.start_frame, len(seq) - 1) if seq_idx == 0 else 0
+            for frame_idx in range(start, len(seq)):
                 if self.a_is_label:
                     a = load_label_map(seq[frame_idx], opt, params)
                 else:
@@ -134,7 +137,7 @@ class TestTemporalStream:
                     "A": a,
                     "B": b,
                     "inst": inst,
-                    "change_seq": frame_idx == 0,
+                    "change_seq": frame_idx == start,
                     "path": seq[frame_idx],
                     "seq": seq_idx,
                 }

@@ -71,17 +71,19 @@ def skipped_flows(
     conf_all: jax.Array | None,
     flow_new: jax.Array,
     conf_new: jax.Array,
-    real_b_skipped: list[jax.Array | None],
     t_scales: int,
     td: int,
-    flow_fn=None,
 ):
-    """Reference flows for each temporal scale's groups.
+    """Scale-0 reference flows for the temporal groups (pure bookkeeping).
 
     Scale 0 reuses the adjacent-frame flows (dropping each group's first
-    entry); coarser scales recompute flow between the skipped real frames
-    via `flow_fn(im_a, im_b) -> (flow, conf)` (reference:
-    models/vid2vid_model_D.py:292-302).
+    entry). Coarser scales need flow *recomputed* between the skipped real
+    frames (reference: models/vid2vid_model_D.py:292-302) — that happens in
+    the Trainer OUTSIDE this function, so a jit of this bookkeeping never
+    traces the flow network: calling a params-closing flow_fn under an outer
+    jit would bake all 162M FlowNet2 weights into the HLO as constants
+    (same failure mode the direct path fixed by passing params as an
+    argument inside FlowEstimator's own jit).
     """
     flow_all, fgroups = skipped_frames(flow_all, flow_new, 1, td)
     conf_all, cgroups = skipped_frames(conf_all, conf_new, 1, td)
@@ -90,10 +92,6 @@ def skipped_flows(
     if fgroups[0] is not None:
         flow_skipped[0] = fgroups[0][:, 1:]
         conf_skipped[0] = cgroups[0][:, 1:]
-    for s in range(1, t_scales):
-        rb = real_b_skipped[s]
-        if rb is not None and flow_fn is not None:
-            flow_skipped[s], conf_skipped[s] = flow_fn(rb[:, 1:], rb[:, :-1])
     return flow_all, conf_all, flow_skipped, conf_skipped
 
 

@@ -106,12 +106,16 @@ class Trainer:
                 skipped_frames, t_scales=opt.n_scales_temporal, td=opt.n_frames_D
             )
         )
+        # NOTE: flow_fn must NOT be traced inside this jit — it closes over
+        # the FlowNet2 params and an outer jit would bake them into the HLO
+        # as constants. The coarse-scale flow recomputation is hoisted into
+        # train_chunk, where flow_fn runs eagerly (it jits internally with
+        # params as a traced argument).
         self._skipped_flows = jax.jit(
             functools.partial(
                 skipped_flows,
                 t_scales=opt.n_scales_temporal,
                 td=opt.n_frames_D,
-                flow_fn=self.flow_fn,
             )
         )
 
@@ -213,9 +217,18 @@ class Trainer:
             )
             carry.flow_all, carry.conf_all, flow_skipped, conf_skipped = (
                 self._skipped_flows(
-                    carry.flow_all, carry.conf_all, flow_ref, conf_ref, real_skipped
+                    carry.flow_all, carry.conf_all, flow_ref, conf_ref
                 )
             )
+            # coarser temporal scales: reference flow between the skipped
+            # real frames (reference: vid2vid_model_D.py:292-302), computed
+            # here outside the bookkeeping jit (see __init__ note)
+            for s in range(1, t_scales):
+                rb = real_skipped[s]
+                if rb is not None:
+                    flow_skipped[s], conf_skipped[s] = self.flow_fn(
+                        rb[:, 1:], rb[:, :-1]
+                    )
 
         # --- G step
         state, loss_g, aux = self.g_step(
@@ -298,7 +311,11 @@ class Trainer:
 
 
 def refresh_batch_stats(
-    trainer: Trainer, state: TrainState, clips, n_batches: int = 8
+    trainer: Trainer,
+    state: TrainState,
+    clips,
+    n_batches: int = 8,
+    max_windows_per_clip: int = 8,
 ):
     """Recalibrate generator norm running statistics for eval.
 
@@ -306,10 +323,14 @@ def refresh_batch_stats(
     running buffers inside the jitted steps; imported torch checkpoints carry
     their own stats, but a model trained from scratch needs this pass before
     eval-mode inference: run the generator forward in train mode with the
-    batch_stats collection mutable over a few clips.
+    batch_stats collection mutable over a few clips, walking up to
+    `max_windows_per_clip` tG-frame windows across each clip (first-window
+    only would calibrate eval-mode BN from ~4 samples).
 
     Args:
-      clips: iterable of (labels, real_b, inst) arrays as in train_clip.
+      clips: iterable of (labels, real_b, inst) arrays as in train_clip —
+        host numpy is fine (and preferred: the caller should not pin clip
+        HBM between checkpoint saves).
     Returns: TrainState with refreshed gparams batch_stats.
     """
     gen = trainer.gen
@@ -358,9 +379,15 @@ def refresh_batch_stats(
     for labels, real_b, inst in clips:
         if count >= n_batches:
             break
-        enc = gen.encode_input(labels, inst)
-        b, _, h, w = real_b.shape[:4]
-        gen_state = gen.state_from_frames(real_b[:, : tG - 1])
-        gparams = refresh(gparams, enc, gen_state)
+        labels = jnp.asarray(labels)
+        real_b = jnp.asarray(real_b)
+        inst = jnp.asarray(inst) if inst is not None else None
+        enc_full = gen.encode_input(labels, inst)
+        n_win = max(1, real_b.shape[1] - tG + 1)
+        stride = max(1, -(-n_win // max_windows_per_clip))
+        for t0 in range(0, n_win, stride):
+            enc = enc_full[:, t0 : t0 + tG]
+            gen_state = gen.state_from_frames(real_b[:, t0 : t0 + tG - 1])
+            gparams = refresh(gparams, enc, gen_state)
         count += 1
     return state.replace(gparams=gparams)

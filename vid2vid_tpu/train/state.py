@@ -186,24 +186,36 @@ def reinit_g_optimizer(state: TrainState, opt: Options) -> TrainState:
 
 
 def set_learning_rate(state: TrainState, opt: Options, factor: float) -> TrainState:
-    """Scale all groups' learning rates (linear decay hook).
+    """Linear-decay hook for the G and D learning rates.
+
+    Two reference quirks reproduced faithfully (reference:
+    models/models.py:151-155, base_model.py:154-159):
+      - only `optimizer_G` and `optimizer_D` decay; the temporal
+        discriminators' `optimizer_D_T[s]` keep their initial lr forever;
+      - `update_learning_rate` assigns the *absolute* value
+        `opt.lr * (1 - (epoch-niter)/niter_decay)` to both groups, so under
+        TTUR the lr/2 and 2*lr asymmetry vanishes at the first decay epoch.
+    Before decay starts (factor >= 1) the initial (TTUR-scaled) lrs stand.
 
     Rebuilds the optax state trees functionally (InjectHyperparamsState /
     MultiTransformState / MaskedState are NamedTuples) — no in-place
     mutation, safe under donation/copies.
     """
 
-    def upd(opt_state, base_lr):
+    def upd(opt_state, lr_value):
         lr = jnp.asarray(
-            base_lr * factor,
+            lr_value,
             dtype=jnp.asarray(opt_state.hyperparams["learning_rate"]).dtype,
         )
         return opt_state._replace(
             hyperparams={**opt_state.hyperparams, "learning_rate": lr}
         )
 
-    lr_g = (opt.lr / 2) if opt.TTUR else opt.lr
-    lr_d = (opt.lr * 2) if opt.TTUR else opt.lr
+    if factor >= 1.0:
+        lr_g = (opt.lr / 2) if opt.TTUR else opt.lr
+        lr_d = (opt.lr * 2) if opt.TTUR else opt.lr
+    else:
+        lr_g = lr_d = opt.lr * factor
     new_opt_g = upd(state.opt_g, lr_g)
     # opt_d is a multi_transform: inner_states['d'] wraps the injected adam
     masked = state.opt_d.inner_states["d"]
@@ -211,5 +223,4 @@ def set_learning_rate(state: TrainState, opt: Options, factor: float) -> TrainSt
     new_opt_d = state.opt_d._replace(
         inner_states={**state.opt_d.inner_states, "d": new_masked}
     )
-    new_opt_dt = tuple(upd(s, opt.lr) for s in state.opt_dt)
-    return state.replace(opt_g=new_opt_g, opt_d=new_opt_d, opt_dt=new_opt_dt)
+    return state.replace(opt_g=new_opt_g, opt_d=new_opt_d)

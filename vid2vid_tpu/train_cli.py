@@ -70,7 +70,9 @@ def main(argv=None):
     # ring buffer of recent clips: checkpoints recalibrate norm running
     # stats from these before saving, so eval-mode inference of a freshly
     # trained model is correct by default (the reference's BN updates every
-    # forward; our jitted steps use per-batch stats and skip the buffers)
+    # forward; our jitted steps use per-batch stats and skip the buffers).
+    # Held as HOST numpy — 4 full clips of device arrays would pin O(GB)
+    # of HBM at high res; refresh_batch_stats re-uploads at save time.
     recent_clips: list = []
 
     def save(state, tag):
@@ -94,7 +96,9 @@ def main(argv=None):
             imgs = jnp.asarray(data["B"])
             inst = jnp.asarray(data["inst"]) if data.get("inst") is not None else None
             state, losses = trainer.train_clip(state, labels, imgs, inst)
-            recent_clips.append((labels, imgs, inst))
+            recent_clips.append(
+                (data["A"], data["B"], data.get("inst"))  # host numpy views
+            )
             if len(recent_clips) > 4:
                 recent_clips.pop(0)
 

@@ -338,9 +338,9 @@ def flownet_c_mapping(prefix: str = "flownetc") -> list[Triple]:
     p = (prefix,)
     out: list[Triple] = []
     for name in ("conv1", "conv2", "conv3", "conv_redir"):
-        out += _fn_conv(f"{prefix}.{name}", (*p, name, "Conv_0"))
+        out += _fn_conv(f"{prefix}.{name}", (*p, name))
     for name in ("conv3_1", "conv4", "conv4_1", "conv5", "conv5_1", "conv6", "conv6_1"):
-        out += _fn_conv(f"{prefix}.{name}", (*p, "enc", name, "Conv_0"))
+        out += _fn_conv(f"{prefix}.{name}", (*p, "enc", name))
     out += _decoder_mapping(prefix, (*p, "dec"), upflow_bias=True)
     return out
 
@@ -349,9 +349,9 @@ def flownet_s_mapping(prefix: str) -> list[Triple]:
     p = (prefix,)
     out: list[Triple] = []
     for name in ("conv1", "conv2", "conv3"):
-        out += _fn_conv(f"{prefix}.{name}", (*p, name, "Conv_0"))
+        out += _fn_conv(f"{prefix}.{name}", (*p, name))
     for name in ("conv3_1", "conv4", "conv4_1", "conv5", "conv5_1", "conv6", "conv6_1"):
-        out += _fn_conv(f"{prefix}.{name}", (*p, "enc", name, "Conv_0"))
+        out += _fn_conv(f"{prefix}.{name}", (*p, "enc", name))
     out += _decoder_mapping(prefix, (*p, "dec"), upflow_bias=False)
     return out
 
@@ -381,7 +381,7 @@ def flownet_sd_mapping(prefix: str = "flownets_d") -> list[Triple]:
         "conv4", "conv4_1", "conv5", "conv5_1", "conv6", "conv6_1",
     ]
     for name in convs:
-        out += _fn_conv(f"{prefix}.{name}", (*p, name, "Conv_0"))
+        out += _fn_conv(f"{prefix}.{name}", (*p, name))
     for lvl in (6, 5, 4, 3, 2):
         out += _conv(
             f"{prefix}.predict_flow{lvl}", (*p, f"predict_flow{lvl}", "Conv_0")
@@ -402,7 +402,7 @@ def flownet_fusion_mapping(prefix: str = "flownetfusion") -> list[Triple]:
     p = (prefix,)
     out: list[Triple] = []
     for name in ("conv0", "conv1", "conv1_1", "conv2", "conv2_1"):
-        out += _fn_conv(f"{prefix}.{name}", (*p, name, "Conv_0"))
+        out += _fn_conv(f"{prefix}.{name}", (*p, name))
     for lvl in (2, 1, 0):
         out += _conv(
             f"{prefix}.predict_flow{lvl}", (*p, f"predict_flow{lvl}", "Conv_0")

@@ -26,7 +26,15 @@ class Visualizer:
         self.win_size = opt.display_winsize
         self.web_dir = os.path.join(opt.checkpoints_dir, opt.name, "web")
         self.img_dir = os.path.join(self.web_dir, "images")
-        os.makedirs(self.img_dir, exist_ok=True)
+        # reference: util/visualizer.py:18 — the HTML gallery runs only at
+        # train time and is disabled by --no_html
+        self.use_html = getattr(opt, "isTrain", True) and not getattr(
+            opt, "no_html", False
+        )
+        if self.use_html:
+            os.makedirs(self.img_dir, exist_ok=True)
+        else:
+            os.makedirs(os.path.join(opt.checkpoints_dir, opt.name), exist_ok=True)
         self.log_name = os.path.join(opt.checkpoints_dir, opt.name, "loss_log.txt")
         with open(self.log_name, "a") as fh:
             fh.write(
@@ -80,11 +88,14 @@ class Visualizer:
         for label, image in visuals.items():
             if image is None:
                 continue
-            path = os.path.join(self.img_dir, f"epoch{epoch:03d}_{label}.jpg")
-            Image.fromarray(image).save(path)
+            if self.use_html:
+                path = os.path.join(self.img_dir, f"epoch{epoch:03d}_{label}.jpg")
+                Image.fromarray(image).save(path)
             if self.tb is not None:
                 self.tb.add_image(label, image, step, dataformats="HWC")
 
+        if not self.use_html:
+            return
         gallery = HTMLGallery(self.web_dir, f"Experiment name = {self.name}")
         for e in range(epoch, 0, -1):
             gallery.add_header(f"epoch [{e}]")
