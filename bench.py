@@ -184,7 +184,12 @@ def main():
         "metric": f"label2city {width}x{height} 3-scale inference",
         "value": round(fps, 3),
         "unit": "frames/sec",
+        # the reference publishes no fps; the driver's target is ">=2x a
+        # V100" with an ASSUMED 1 fps V100 @2048x1024 — this ratio is
+        # fps/2.0 under that assumption, nothing more. MFU below is the
+        # grounded number.
         "vs_baseline": round(fps / 2.0, 3),
+        "baseline_note": "assumed V100=1fps@2048x1024 (none published); see mfu_pct for grounded util",
     }
     record.update(extras)
     if os.environ.get("BENCH_TRAIN", "1") == "1":

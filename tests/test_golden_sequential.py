@@ -115,11 +115,16 @@ class TorchCompositeLocal(tnn.Module):
         return final, flow, weight, raw, img_feat, flow_feat
 
 
-def torch_sequential_inference(netG0, netG1, labels_int, real_b):
+def torch_sequential_inference(netG0, netG1, a_maps, real_b):
     """The reference's streaming inference loop, re-derived independently
     (reference: vid2vid_model_G.py:198-229 generate_frame_infer +
     generate_first_frame real-frame seeding + base_model.py:122-134
-    build_pyr)."""
+    build_pyr).
+
+    `a_maps`: (T, C, H, W) float conditioning — one-hot labels for the
+    street config; edge+distance maps (face) or densepose+openpose renders
+    (pose) pass through un-encoded, like the reference's label_nc=0 path
+    (vid2vid_model_G.py:86-96)."""
     pool = tnn.AvgPool2d(3, 2, 1, count_include_pad=False)
 
     def build_pyr(x):  # (K, C, h, w) -> [finest, ..., coarsest]
@@ -128,13 +133,10 @@ def torch_sequential_inference(netG0, netG1, labels_int, real_b):
             pyr.append(pool(pyr[-1]))
         return pyr
 
-    onehot = (
-        F.one_hot(labels_int.long(), LABEL_NC).permute(0, 3, 1, 2).float()
-    )  # (T, C, H, W)
     fake_prev = build_pyr(real_b[: TG - 1])  # seed: first tG-1 real frames
     outs = []
     for i in range(TG - 1, N_FRAMES):
-        a_pyr = build_pyr(onehot[i - TG + 1 : i + 1])
+        a_pyr = build_pyr(a_maps[i - TG + 1 : i + 1])
         img_feat = flow_feat = None
         for s in range(N_SCALES):
             si = N_SCALES - 1 - s
@@ -166,9 +168,14 @@ def golden():
 
     labels = rng.integers(0, LABEL_NC, (N_FRAMES, H, W)).astype(np.int32)
     real_b = (rng.uniform(-1, 1, (N_FRAMES, 3, H, W))).astype(np.float32)
+    onehot = (
+        F.one_hot(torch.from_numpy(labels).long(), LABEL_NC)
+        .permute(0, 3, 1, 2)
+        .float()
+    )
     with torch.no_grad():
         expected = torch_sequential_inference(
-            netG0, netG1, torch.from_numpy(labels), torch.from_numpy(real_b)
+            netG0, netG1, onehot, torch.from_numpy(real_b)
         ).numpy()
 
     opt = Options(
@@ -220,3 +227,83 @@ class TestGoldenSequential:
             frame, state = eng.step(params, window, None, state)
             delta = np.abs(np.asarray(frame[0]) - exp[i - TG + 1])
             assert delta.max() < 1e-2, (i, delta.max())
+
+
+def _continuous_golden(in_ch, seed):
+    """Shared builder for the face/pose variants: `in_ch`-channel continuous
+    conditioning (label_nc=0), 2-scale composite, frame-for-frame torch
+    oracle (reference: face 15-ch input, data/face_dataset.py:71-89; pose
+    6-ch densepose+openpose, data/pose_dataset.py:39-57)."""
+    torch.manual_seed(seed)
+    rng = np.random.default_rng(seed)
+    ngf, nd, nb, nbl = 8, 2, 4, 2
+    netG0 = TorchCompositeFeat(in_ch * TG, (TG - 1) * 3, ngf=ngf, nd=nd, nb=nb).eval()
+    netG1 = TorchCompositeLocal(in_ch * TG, (TG - 1) * 3, ngf=ngf // 2, nbl=nbl).eval()
+
+    # sparse edge/render-like conditioning in [-1, 1]
+    a = np.full((N_FRAMES, in_ch, H, W), -1.0, np.float32)
+    mask = rng.random((N_FRAMES, in_ch, H, W)) < 0.07
+    a[mask] = rng.uniform(-1, 1, mask.sum()).astype(np.float32)
+    real_b = rng.uniform(-1, 1, (N_FRAMES, 3, H, W)).astype(np.float32)
+    with torch.no_grad():
+        expected = torch_sequential_inference(
+            netG0, netG1, torch.from_numpy(a), torch.from_numpy(real_b)
+        ).numpy()
+
+    opt = Options(
+        label_nc=0, input_nc=in_ch, use_instance=False, output_nc=3,
+        ngf=ngf, n_downsample_G=nd, n_blocks=nb, n_blocks_local=nbl,
+        n_scales_spatial=N_SCALES, n_frames_G=TG, norm="batch",
+        fg=False, isTrain=False,
+    )
+    params = {
+        "G0": apply_mapping(
+            {k: v.numpy() for k, v in netG0.state_dict().items()},
+            composite_generator_mapping(nd, nb, "batch"),
+        ),
+        "G1": apply_mapping(
+            {k: v.numpy() for k, v in netG1.state_dict().items()},
+            composite_local_mapping(nbl, "batch"),
+        ),
+    }
+    return opt, params, a, real_b, expected
+
+
+def _assert_sequential_golden(opt, params, a, real_b, expected):
+    eng = InferenceEngine(opt)
+    a_nhwc = jnp.asarray(np.transpose(a, (0, 2, 3, 1)))[None]
+    enc = eng.encode(a_nhwc)
+    real_nhwc = jnp.asarray(np.transpose(real_b, (0, 2, 3, 1)))[None]
+    state = eng.initial_state(1, H, W, real_frames=real_nhwc)
+    outs, _ = eng.generate_clip(params, enc, state)
+    got = np.asarray(outs.fake[0])
+    exp = np.transpose(expected, (0, 2, 3, 1))
+    assert got.shape == exp.shape
+    delta = np.abs(got - exp)
+    for t in range(exp.shape[0]):
+        assert delta[t].max() < 1e-2, (t, delta[t].max())
+    assert delta.mean() < 1e-3
+
+    # streaming step path too (what test_cli drives)
+    state = eng.initial_state(1, H, W, real_frames=real_nhwc)
+    for i in range(TG - 1, N_FRAMES):
+        window = a_nhwc[:, i - TG + 1 : i + 1]
+        frame, state = eng.step(params, window, None, state)
+        d = np.abs(np.asarray(frame[0]) - exp[i - TG + 1])
+        assert d.max() < 1e-2, (i, d.max())
+
+
+class TestGoldenFaceShaped:
+    def test_face_15ch_sequential(self):
+        """edge2face-shaped sequential path: 15-channel continuous input
+        (face edges + per-part distance maps, reference:
+        data/face_dataset.py:71-89), frame-for-frame <1e-2."""
+        _assert_sequential_golden(*_continuous_golden(in_ch=15, seed=21))
+
+
+class TestGoldenPoseShaped:
+    def test_pose_6ch_sequential(self):
+        """pose2body-shaped sequential path: 6-channel densepose+openpose
+        conditioning (reference: data/pose_dataset.py:39-57),
+        frame-for-frame <1e-2."""
+        _assert_sequential_golden(*_continuous_golden(in_ch=6, seed=22))

@@ -270,3 +270,25 @@ class TestConv7Pallas:
         )(x, k)
         np.testing.assert_allclose(np.asarray(gx), np.asarray(wx), atol=1e-5)
         np.testing.assert_allclose(np.asarray(gk), np.asarray(wk), atol=1e-4)
+
+
+class TestOnehotStem:
+    def test_gather_formulation_matches_dense_conv(self, rng):
+        """onehot_conv7 == dense 7x7 conv over the explicit one-hot stack
+        (the SURVEY-hard-part-4 implicit-stem study, ops/onehot_stem.py)."""
+        from vid2vid_tpu.ops.onehot_stem import dense_kernel_to_tables, onehot_conv7
+
+        nc, t, co, h, w = 5, 3, 8, 12, 16
+        labels = rng.integers(0, nc, (2, h, w, t)).astype(np.int32)
+        kernel = rng.standard_normal((7, 7, t * nc, co)).astype(np.float32) * 0.1
+
+        onehot = jax.nn.one_hot(labels, nc, dtype=jnp.float32)  # (B,H,W,T,nc)
+        onehot = onehot.reshape(2, h, w, t * nc)
+        dense = jax.lax.conv_general_dilated(
+            onehot, jnp.asarray(kernel), (1, 1), [(3, 3), (3, 3)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        got = onehot_conv7(
+            jnp.asarray(labels), dense_kernel_to_tables(jnp.asarray(kernel), nc, t)
+        )
+        np.testing.assert_allclose(np.asarray(dense), np.asarray(got), atol=1e-5)
