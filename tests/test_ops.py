@@ -292,3 +292,49 @@ class TestOnehotStem:
             jnp.asarray(labels), dense_kernel_to_tables(jnp.asarray(kernel), nc, t)
         )
         np.testing.assert_allclose(np.asarray(dense), np.asarray(got), atol=1e-5)
+
+
+class TestTapstack:
+    def test_matches_dense_conv(self, rng):
+        """conv7_tapstack == VALID lax.conv on the same padded input, for
+        the head shapes (small Co) and a generic one."""
+        from vid2vid_tpu.ops.tapstack import conv7_tapstack
+
+        for ci, co in [(80, 9), (13, 3), (32, 6)]:
+            xp = jnp.asarray(
+                rng.standard_normal((2, 14 + 6, 18 + 6, ci)).astype(np.float32)
+            )
+            k = jnp.asarray(
+                (rng.standard_normal((7, 7, ci, co)) * 0.1).astype(np.float32)
+            )
+            want = jax.lax.conv_general_dilated(
+                xp, k, (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            got = conv7_tapstack(xp, k)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), atol=2e-4, rtol=1e-4,
+                err_msg=f"ci={ci} co={co}",
+            )
+
+    def test_grad_matches_dense_conv(self, rng):
+        from vid2vid_tpu.ops.tapstack import conv7_tapstack
+
+        xp = jnp.asarray(rng.standard_normal((1, 12, 16, 8)).astype(np.float32))
+        k = jnp.asarray((rng.standard_normal((7, 7, 8, 3)) * 0.1).astype(np.float32))
+
+        def f_dense(xp, k):
+            return jnp.sum(
+                jax.lax.conv_general_dilated(
+                    xp, k, (1, 1), "VALID",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                ) ** 2
+            )
+
+        def f_tap(xp, k):
+            return jnp.sum(conv7_tapstack(xp, k) ** 2)
+
+        gx_d, gk_d = jax.grad(f_dense, (0, 1))(xp, k)
+        gx_t, gk_t = jax.grad(f_tap, (0, 1))(xp, k)
+        np.testing.assert_allclose(np.asarray(gx_t), np.asarray(gx_d), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gk_t), np.asarray(gk_d), atol=1e-4)

@@ -155,3 +155,89 @@ class TestSparseD:
         )
         assert any(k.startswith("D_T_real") for k in losses)
         assert all(np.isfinite(v) for v in losses.values())
+
+
+class TestMeshMultiChunk:
+    def test_multichunk_sharded_matches_single_device_lr0(self):
+        """Cross-chunk semantics under sharding: with lr=0 the params never
+        move, so chunk-2 losses depend only on the carried generator state
+        and temporal buffers from chunk 1 — deterministic, no Adam chaos.
+        Covers what the single-chunk equivalence test (above) cannot: the
+        chunk carry, temporal frame buffers, and flow bookkeeping under the
+        ('data','model') mesh (reference chunk loop: train.py:50-62)."""
+        from vid2vid_tpu.data.synthetic import SyntheticVideoDataset
+        from vid2vid_tpu.train.loop import Trainer
+
+        def run(n_devices):
+            opt = Options(
+                label_nc=2, ngf=8, ndf=8, n_downsample_G=2, n_blocks=2,
+                n_scales_spatial=1, num_D=1, n_layers_D=2, n_frames_D=3,
+                n_scales_temporal=2, n_frames_total=8, max_frames_per_gpu=4,
+                no_vgg=True, norm="batch", fineSize=32, batchSize=2,
+                lr=0.0, n_devices=n_devices,
+            )
+            trainer = Trainer(opt)
+            trainer.schedule.n_frames_load = 4  # 2 chunks of 4 frames
+            ds = SyntheticVideoDataset(opt, height=32, width=64)
+            l0, i0 = ds.clip(8)
+            l1, i1 = ds.clip(8)
+            labels = jnp.concatenate([jnp.asarray(l0), jnp.asarray(l1)])
+            imgs = jnp.concatenate([jnp.asarray(i0), jnp.asarray(i1)])
+            state = trainer.init_state(32, 64, batch=2)
+            _, losses = trainer.train_clip(state, labels, imgs)
+            assert trainer.schedule.n_frames_load == 4
+            return trainer, losses
+
+        t1, ref = run(1)
+        assert t1.mesh is None
+        t8, sharded = run(8)
+        assert t8.mesh is not None
+        assert set(sharded) == set(ref)
+        for k in ref:
+            np.testing.assert_allclose(
+                sharded[k], ref[k], rtol=2e-4, atol=1e-5, err_msg=k
+            )
+
+
+class TestMeshInference:
+    def test_inference_engine_n_devices_matches_single(self, rng):
+        """--n_devices width-sharded serving: InferenceEngine clip + step
+        outputs match the unsharded engine (params replicated, activation
+        width cut over 'model'; reference analog: the G/D device split,
+        models/models.py:15-23)."""
+        from vid2vid_tpu.models.inference import InferenceEngine
+
+        opt_kw = dict(
+            label_nc=4, use_instance=False, output_nc=3, ngf=8,
+            n_downsample_G=2, n_blocks=2, n_blocks_local=2,
+            n_scales_spatial=2, n_frames_G=3, norm="batch",
+            fg=False, isTrain=False,
+        )
+        b, h, w, t_len = 1, 32, 64, 6
+        labels = jnp.asarray(rng.integers(0, 4, (b, t_len, h, w)), jnp.int32)
+
+        eng1 = InferenceEngine(Options(**opt_kw))
+        assert eng1.mesh is None
+        params = eng1.init(jax.random.key(0), b, h, w)
+        state = eng1.initial_state(b, h, w)
+        ref, _ = eng1.generate_clip_raw(params, labels, None, state)
+
+        eng4 = InferenceEngine(Options(n_devices=4, **opt_kw))
+        assert eng4.mesh is not None and eng4.mesh.shape["model"] == 4
+        state = eng4.initial_state(b, h, w)
+        out, _ = eng4.generate_clip_raw(params, labels, None, state)
+        np.testing.assert_allclose(
+            np.asarray(out.fake), np.asarray(ref.fake), atol=2e-5
+        )
+
+        # streaming step path
+        tG = 3
+        s1 = eng1.initial_state(b, h, w)
+        s4 = eng4.initial_state(b, h, w)
+        for i in range(tG - 1, t_len):
+            win = labels[:, i - tG + 1 : i + 1]
+            f1, s1 = eng1.step(params, win, None, s1)
+            f4, s4 = eng4.step(params, win, None, s4)
+            np.testing.assert_allclose(
+                np.asarray(f4), np.asarray(f1), atol=2e-5, err_msg=str(i)
+            )

@@ -79,7 +79,7 @@ class Options:
     # device topology (TPU): mesh axes sizes; data axis is the outer one
     gpu_ids: tuple[int, ...] = (0,)
     n_gpus_gen: int = -1
-    n_devices: int = 1  # TPU chips in the data-parallel mesh
+    n_devices: int = 1  # TPU chips: train=('data','model') mesh; test=width-sharded serving
 
     # experiment
     name: str = "experiment_name"

@@ -79,6 +79,29 @@ class InferenceEngine:
         self._clip_fn = None
         self._clip_raw_fn = None
         self._step_fn = None
+        # --n_devices > 1: width-shard activations over a 'model' mesh for
+        # multi-chip serving (params/state replicated; GSPMD inserts conv
+        # halo exchanges — equivalence proven in tests/test_parallel.py).
+        # The reference's analog is the G/D device split + DataParallel
+        # (models/models.py:10-59); here one chip holds the params and the
+        # frame is cut along width across chips.
+        self.mesh = None
+        if getattr(opt, "n_devices", 1) > 1:
+            from vid2vid_tpu.parallel.mesh import make_mesh
+
+            n = min(opt.n_devices, len(jax.devices()))
+            if n > 1:
+                self.mesh = make_mesh(n, data=1)
+
+    def _shard_width(self, x, width_axis):
+        """Place an activation with its width axis sharded over 'model'."""
+        if self.mesh is None or x is None:
+            return x
+        from vid2vid_tpu.parallel.mesh import batch_sharding
+
+        return jax.device_put(
+            x, batch_sharding(self.mesh, x.ndim, width_axis, batch_axis=None)
+        )
 
     # ------------------------------------------------------------------ init
 
@@ -135,6 +158,7 @@ class InferenceEngine:
                 )
 
             self._clip_fn = fn
+        enc_a = self._shard_width(enc_a, 3)
         return self._clip_fn(params, enc_a, state, use_raw_only)
 
     def generate_clip_raw(self, params, labels, inst, state, use_raw_only=False):
@@ -161,8 +185,11 @@ class InferenceEngine:
 
             self._clip_raw_fn = fn
         has_inst = inst is not None
+        labels = self._shard_width(labels, 3)
         if inst is None:
             inst = jnp.zeros((1,), jnp.int32)  # placeholder, unused when has_inst=False
+        else:
+            inst = self._shard_width(inst, 3)
         return self._clip_raw_fn(params, labels, inst, state, use_raw_only, has_inst)
 
     # ------------------------------------------------------------------ step
@@ -189,6 +216,8 @@ class InferenceEngine:
                 return outs.fake[:, 0].astype(jnp.float32), new_state
 
             self._step_fn = fn
+        labels_window = self._shard_width(labels_window, 3)
+        inst_window = self._shard_width(inst_window, 3)
         return self._step_fn(params, labels_window, inst_window, state, use_raw_only)
 
     def seed_state(self, frames):

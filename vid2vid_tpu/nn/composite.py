@@ -35,6 +35,7 @@ import jax.numpy as jnp
 
 from vid2vid_tpu.nn.blocks import DownBlock, ResnetBlock, UpBlock
 from vid2vid_tpu.nn.layers import Norm, conv_kernel_init, reflect_pad
+from vid2vid_tpu.ops.tapstack import conv7_tapstack
 from vid2vid_tpu.ops.warp import flow_warp
 
 
@@ -87,12 +88,19 @@ class FusedConv7(nn.Module):
             )
             bias = bias.at[off : off + co].set(b.astype(x.dtype))
             off += co
-        # plain XLA conv: measured within ~15% of the Pallas-kernel floor
-        # for these shapes on v5e — see ops/conv7_pallas.py for the study
-        out = jax.lax.conv_general_dilated(
-            reflect_pad(x, 3), kernel, (1, 1), "VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        ) + bias
+        if total_out <= 16:
+            # tiny-Co heads: the conv contraction pads N=Co to 128 on the
+            # MXU (~7% fill, 26.5 ms at 2048x1024); the tap-stacked 1x1
+            # matmul + shift-reduce formulation is the same math at proper
+            # MXU fill — see ops/tapstack.py and PERF.md
+            out = conv7_tapstack(reflect_pad(x, 3), kernel) + bias
+        else:
+            # plain XLA conv: measured within ~15% of the Pallas-kernel
+            # floor for these shapes on v5e — see ops/conv7_pallas.py
+            out = jax.lax.conv_general_dilated(
+                reflect_pad(x, 3), kernel, (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + bias
         outs = []
         off = 0
         for _, _, co in self.specs:
