@@ -229,6 +229,38 @@ class TestWarpVariantsAgree:
             np.asarray(flow_warp_im2col(img, flow)), ref, atol=1e-6
         )
 
+    def test_custom_vjp_matches_ref_autodiff(self, rng):
+        """flow_warp's patch-formulation backward == autodiff of the ref warp.
+
+        flow_warp routes its backward through flow_warp_patch's VJP (the
+        im2col backward NaNs TPU training at the 1024x1024 crop config —
+        see ops/warp.py docstring). This pins the custom backward to the
+        plain autodiff gradients, including out-of-bounds flows where the
+        border clamp zeroes the flow gradient.
+        """
+        from vid2vid_tpu.ops.warp import flow_warp_ref
+
+        img = jnp.asarray(rng.standard_normal((2, 12, 20, 3)).astype(np.float32))
+        flow = np.asarray(
+            (rng.standard_normal((2, 12, 20, 2)) * 5).astype(np.float32)
+        )
+        flow[0, :3, :3, 0] = 50.0  # clamped far out of bounds
+        flow[1, -3:, -3:, 1] = -50.0
+        flow = jnp.asarray(flow)
+        ct = jnp.asarray(rng.standard_normal((2, 12, 20, 3)).astype(np.float32))
+
+        def loss(fn, i, f):
+            return jnp.sum(fn(i, f) * ct)
+
+        g_ref = jax.grad(lambda i, f: loss(flow_warp_ref, i, f), (0, 1))(img, flow)
+        g_got = jax.grad(lambda i, f: loss(flow_warp, i, f), (0, 1))(img, flow)
+        np.testing.assert_allclose(
+            np.asarray(g_got[0]), np.asarray(g_ref[0]), atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(g_got[1]), np.asarray(g_ref[1]), atol=2e-5
+        )
+
 
 class TestConv7Pallas:
     def test_interpret_matches_xla(self, rng):

@@ -178,9 +178,36 @@ def flow_warp_im2col(image: jax.Array, flow: jax.Array) -> jax.Array:
     return top * (1 - wy) + bot * wy
 
 
+@jax.custom_vjp
 def flow_warp(image: jax.Array, flow: jax.Array) -> jax.Array:
-    """Bilinear border warp (exact reference semantics, TPU-tuned path)."""
+    """Bilinear border warp (exact reference semantics, TPU-tuned path).
+
+    Forward is the im2col neighborhood-gather formulation (fastest measured:
+    21.4 ms vs 38.2 patch vs 66 ref @2048x1024 bf16 on v5e). Backward is the
+    VJP of the patch-gather formulation: the two are mathematically identical
+    (same taps, same clamped weights; grad parity ~1e-7 in f32), but the
+    im2col backward — a (1,1,4C)-slice scatter into the packed neighborhood
+    tensor followed by the concat/edge-pad transposes — makes TPU training
+    NaN at the 1024x1024 3-scale bf16 crop config from the second clip on,
+    while the patch backward trains finite (bisected live on v5e by flipping
+    only this function with everything else fixed; CPU reproduces no
+    difference, so the defect is in the TPU lowering of that scatter chain,
+    not in the math).
+    """
     return flow_warp_im2col(image, flow)
+
+
+def _flow_warp_fwd(image, flow):
+    return flow_warp_im2col(image, flow), (image, flow)
+
+
+def _flow_warp_bwd(res, g):
+    image, flow = res
+    _, vjp = jax.vjp(flow_warp_patch, image, flow)
+    return vjp(g)
+
+
+flow_warp.defvjp(_flow_warp_fwd, _flow_warp_bwd)
 
 
 def flow_warp_nchw(image: jax.Array, flow: jax.Array) -> jax.Array:
