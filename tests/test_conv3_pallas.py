@@ -13,6 +13,7 @@ import numpy as np
 import pytest
 
 from vid2vid_tpu.ops.conv3_pallas import (
+    conv3_fused_padded,
     conv3_padded,
     conv3_pallas_padded,
     pick_blocks,
@@ -77,6 +78,41 @@ class TestConv3Pallas:
         )
         np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_w), atol=1e-4)
         np.testing.assert_allclose(np.asarray(gk), np.asarray(gk_w), atol=1e-4)
+
+    def test_fused_epilogue_matches_xla(self, rng):
+        """conv + affine (+ residual) (+ relu) fused kernel == the composed
+        XLA expression — the eval-mode resblock step (norm folded to
+        scale/offset)."""
+        h, w, ci, co, br, tw = 8, 32, 128, 128, 8, 32
+        xp = jnp.asarray(
+            rng.standard_normal((2, h + 2, w + 2, ci)).astype(np.float32)
+        )
+        k = jnp.asarray(
+            (rng.standard_normal((3, 3, ci, co)) * 0.1).astype(np.float32)
+        )
+        scale = jnp.asarray(
+            (1.0 + 0.1 * rng.standard_normal(co)).astype(np.float32)
+        )
+        offset = jnp.asarray(
+            (0.1 * rng.standard_normal(co)).astype(np.float32)
+        )
+        res = jnp.asarray(rng.standard_normal((2, h, w, co)).astype(np.float32))
+
+        for relu in (False, True):
+            for residual in (None, res):
+                want = _xla(xp, k) * scale + offset
+                if residual is not None:
+                    want = want + residual
+                if relu:
+                    want = jnp.maximum(want, 0.0)
+                got = conv3_fused_padded(
+                    xp, k, scale, offset, residual=residual, relu=relu,
+                    block_rows=br, block_cols=tw, interpret=True,
+                )
+                np.testing.assert_allclose(
+                    np.asarray(got), np.asarray(want), atol=2e-4, rtol=1e-4,
+                    err_msg=f"relu={relu} residual={residual is not None}",
+                )
 
     def test_pick_blocks(self):
         assert pick_blocks(1024, 512, 128, 128) is not None

@@ -9,6 +9,13 @@ fusion barriers, so XLA can no longer fuse the bias add / norm / relu
 each resblock gains full-activation HBM round-trips that cost more than
 the MXU win. Kept in-tree as a measured baseline; see PERF.md.
 
+`conv3_fused_padded` is the follow-up that PERF.md's negative result
+calls for: the eval-mode resblock epilogue (norm folded to a per-channel
+affine, optional residual add, optional ReLU) applied to the f32
+accumulator while it is still VMEM-resident, so fusing through the
+pallas_call boundary costs nothing. Wiring it into the inference
+resblocks is gated on a standalone on-chip win (see PERF.md).
+
 The generators spend most of their conv time in 3x3 stride-1 convs — the
 scale-0 resblocks (1024 ch at 64x32 after 3 downsamples of the 512x256
 pyramid level; reference: models/networks.py:174-178,554-593) and the
@@ -129,6 +136,126 @@ def conv3_pallas_padded(
         ),
         interpret=interpret,
     )(xp, kcat)
+
+
+def _conv3_fused_kernel(
+    x_ref, k_ref, ab_ref, r_ref, o_ref, xcat_ref, *,
+    BR: int, TW: int, RELU: bool, RES: bool,
+):
+    """conv3 + per-channel affine (+ residual add) (+ ReLU), one pass.
+
+    ab_ref: (2, Co) f32 — row 0 scale, row 1 offset — the eval-mode norm
+    folded with the conv bias. The epilogue runs on the f32 accumulator
+    while it is still VMEM-resident, so norm/relu/skip cost no extra HBM
+    round-trips (the reason the plain kernel regressed end-to-end).
+    """
+    x = x_ref[0]
+    ci = x.shape[-1]
+    co = k_ref.shape[-1]
+    for kx in range(3):
+        xcat_ref[:, :, kx * ci : (kx + 1) * ci] = jax.lax.slice_in_dim(
+            x, kx, kx + TW, axis=1
+        )
+    dn = (((2,), (0,)), ((), ()))
+    acc = jnp.zeros((BR, TW, co), jnp.float32)
+    for ky in range(3):
+        acc += jax.lax.dot_general(
+            xcat_ref[ky : ky + BR], k_ref[ky], dn,
+            preferred_element_type=jnp.float32,
+        )
+    acc = acc * ab_ref[0] + ab_ref[1]
+    if RES:
+        acc += r_ref[0].astype(jnp.float32)
+    if RELU:
+        acc = jnp.maximum(acc, 0.0)
+    o_ref[0] = acc.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("relu", "block_rows", "block_cols", "interpret"),
+)
+def conv3_fused_padded(
+    xp: jax.Array,
+    kernel: jax.Array,
+    scale: jax.Array,
+    offset: jax.Array,
+    residual: jax.Array | None = None,
+    relu: bool = False,
+    block_rows: int = 16,
+    block_cols: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """VALID 3x3 conv of a pre-padded input with a fused epilogue.
+
+    Computes `conv(xp, kernel) * scale + offset [+ residual] [relu]` in one
+    Pallas pass — the inference-mode resblock step (eval-mode batch/instance
+    norm is a per-channel affine; caller folds the conv bias and the norm
+    stats into `scale`/`offset`). Same contract as conv3_pallas_padded plus
+    Co % 128 == 0 (the epilogue broadcasts over lanes).
+    """
+    b, hp, wp, ci = xp.shape
+    h, w = hp - 2, wp - 2
+    co = kernel.shape[-1]
+    assert kernel.shape[:2] == (3, 3), kernel.shape
+    assert ci % 128 == 0 and co % 128 == 0, (ci, co)
+    br, tw = block_rows, block_cols
+    assert h % br == 0 and w % tw == 0, (h, w, br, tw)
+
+    kcat = kernel.reshape(3, 3 * ci, co)
+    ab = jnp.stack(
+        [scale.astype(jnp.float32), offset.astype(jnp.float32)]
+    )
+
+    tw_in = -(-(tw + 2) // 128) * 128
+    if wp < (w - tw) + tw_in:
+        xp = jnp.pad(xp, ((0, 0), (0, 0), (0, (w - tw) + tw_in - wp), (0, 0)))
+
+    res = residual if residual is not None else jnp.zeros((b, 1, 1, co), xp.dtype)
+    res_spec = (
+        pl.BlockSpec(
+            (1, br, tw, co), lambda bi, yi, xi: (bi, yi, xi, 0),
+            memory_space=pltpu.VMEM,
+        )
+        if residual is not None
+        else pl.BlockSpec(
+            (1, 1, 1, co), lambda bi, yi, xi: (bi, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    )
+
+    grid = (b, h // br, w // tw)
+    return pl.pallas_call(
+        functools.partial(
+            _conv3_fused_kernel, BR=br, TW=tw, RELU=relu,
+            RES=residual is not None,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (Element(1), Element(br + 2), Element(tw_in), Element(ci)),
+                lambda bi, yi, xi: (bi, yi * br, xi * tw, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (3, 3 * ci, co), lambda bi, yi, xi: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((2, co), lambda bi, yi, xi: (0, 0),
+                         memory_space=pltpu.VMEM),
+            res_spec,
+        ],
+        out_specs=pl.BlockSpec(
+            (1, br, tw, co), lambda bi, yi, xi: (bi, yi, xi, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, co), xp.dtype),
+        scratch_shapes=[pltpu.VMEM((br + 2, tw, 3 * ci), xp.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(xp, kcat, ab, res)
 
 
 def pick_blocks(h: int, w: int, ci: int, co: int):
