@@ -262,6 +262,83 @@ class TestComposite:
         assert out.img_feat.shape == (1, 32, 32, 8)
 
 
+class TestFusedResblocks:
+    """Eval-mode Pallas fused-epilogue resblocks == the plain XLA path.
+
+    On CPU the fused branch runs the identical kernel body in interpret
+    mode, so this exercises the real epilogue math (norm folded to affine,
+    relu, residual), not a stand-in.
+    """
+
+    def _vars_with_stats(self, m, rng, x):
+        variables = m.init(jax.random.key(0), x)
+        # nontrivial running stats so the affine fold is load-bearing
+        stats = jax.tree.map(
+            lambda v: jnp.asarray(
+                (0.5 + 0.5 * rng.random(v.shape)).astype(np.float32)
+            ),
+            variables["batch_stats"],
+        )
+        return {**variables, "batch_stats": stats}
+
+    @pytest.mark.parametrize("norm", ["batch", "instance"])
+    def test_fused_respair_matches_plain(self, rng, norm):
+        from vid2vid_tpu.nn.composite import _FusedResPair
+
+        x = jnp.asarray(
+            rng.standard_normal((1, 16, 64, 256)).astype(np.float32)
+        )
+        plain = _FusedResPair(128, norm, fuse=False)
+        fused = _FusedResPair(128, norm, fuse=True)
+        variables = self._vars_with_stats(plain, rng, x)
+
+        want = plain.apply(variables, x, train=False)
+        got = fused.apply(variables, x, train=False)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=5e-4, rtol=1e-4
+        )
+        # training must take the plain path regardless of the flag
+        t_want, _ = plain.apply(
+            variables, x, train=True, mutable=["batch_stats"]
+        )
+        t_got, _ = fused.apply(
+            variables, x, train=True, mutable=["batch_stats"]
+        )
+        np.testing.assert_allclose(np.asarray(t_got), np.asarray(t_want), atol=1e-6)
+
+    def test_unfusable_width_falls_back(self, rng):
+        from vid2vid_tpu.nn.composite import _FusedResPair
+
+        x = jnp.asarray(rng.standard_normal((1, 16, 64, 16)).astype(np.float32))
+        fused = _FusedResPair(8, "batch", fuse=True)  # 2c=16, not 128-aligned
+        variables = fused.init(jax.random.key(0), x)
+        out = fused.apply(variables, x, train=False)
+        assert out.shape == x.shape
+
+    def test_norm_want_affine_matches_eval(self, rng):
+        from vid2vid_tpu.nn.layers import Norm
+
+        for kind in ("batch", "instance", "none"):
+            m = Norm(kind)
+            x = jnp.asarray(rng.standard_normal((2, 6, 7, 8)).astype(np.float32))
+            variables = m.init(jax.random.key(1), x)
+            if kind != "none":
+                variables = {
+                    **variables,
+                    "batch_stats": jax.tree.map(
+                        lambda v: jnp.asarray(
+                            (0.5 + rng.random(v.shape)).astype(np.float32)
+                        ),
+                        variables["batch_stats"],
+                    ),
+                }
+            want = m.apply(variables, x, train=False)
+            _, (a, b) = m.apply(variables, x, train=False, want_affine=True)
+            np.testing.assert_allclose(
+                np.asarray(x * a + b), np.asarray(want), atol=1e-5
+            )
+
+
 class TestPix2PixHD:
     def test_global_shapes(self, rng):
         m = GlobalGenerator(ngf=8, n_downsampling=2, n_blocks=2)

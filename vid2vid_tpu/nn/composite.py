@@ -35,6 +35,7 @@ import jax.numpy as jnp
 
 from vid2vid_tpu.nn.blocks import DownBlock, ResnetBlock, UpBlock
 from vid2vid_tpu.nn.layers import Norm, conv_kernel_init, reflect_pad
+from vid2vid_tpu.ops.conv3_pallas import conv3_fused_padded, pick_blocks
 from vid2vid_tpu.ops.tapstack import conv7_tapstack
 from vid2vid_tpu.ops.warp import flow_warp
 
@@ -124,11 +125,12 @@ class _FusedResPair(nn.Module):
 
     features: int  # per-branch width
     norm: str
+    fuse: bool = False  # eval-mode Pallas fused conv+norm+relu+skip
 
-    def _conv(self, x, tag):
+    def _kernel_bias(self, tag, dtype):
         c = self.features
-        kernel = jnp.zeros((3, 3, 2 * c, 2 * c), x.dtype)
-        bias = jnp.zeros((2 * c,), x.dtype)
+        kernel = jnp.zeros((3, 3, 2 * c, 2 * c), dtype)
+        bias = jnp.zeros((2 * c,), jnp.float32)
         for i, br in enumerate(("img", "flow")):
             k = self.param(
                 f"{br}_conv{tag}_kernel", conv_kernel_init, (3, 3, c, c),
@@ -139,15 +141,27 @@ class _FusedResPair(nn.Module):
                 jnp.float32,
             )
             kernel = kernel.at[:, :, i * c : (i + 1) * c,
-                               i * c : (i + 1) * c].set(k.astype(x.dtype))
-            bias = bias.at[i * c : (i + 1) * c].set(b.astype(x.dtype))
+                               i * c : (i + 1) * c].set(k.astype(dtype))
+            bias = bias.at[i * c : (i + 1) * c].set(b)
+        return kernel, bias
+
+    def _conv(self, x, tag):
+        kernel, bias = self._kernel_bias(tag, x.dtype)
         return jax.lax.conv_general_dilated(
             reflect_pad(x, 1), kernel, (1, 1), "VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        ) + bias
+        ) + bias.astype(x.dtype)
 
-    def _norms(self, x, tag, train):
+    def _norms(self, x, tag, train, want_affine=False):
         c = self.features
+        if want_affine:
+            _, (ai, bi) = Norm(self.norm, name=f"img_norm{tag}")(
+                x[..., :c], False, want_affine=True
+            )
+            _, (af, bf) = Norm(self.norm, name=f"flow_norm{tag}")(
+                x[..., c:], False, want_affine=True
+            )
+            return jnp.concatenate([ai, af]), jnp.concatenate([bi, bf])
         return jnp.concatenate(
             [
                 Norm(self.norm, name=f"img_norm{tag}")(x[..., :c], train),
@@ -156,8 +170,42 @@ class _FusedResPair(nn.Module):
             -1,
         )
 
+    def _fused(self, x):
+        """Both resblock steps as fused-epilogue Pallas convs (eval mode).
+
+        The norm is a per-channel affine at eval; folding it (plus the conv
+        bias and the relu/skip) into the conv3 kernel's accumulator
+        epilogue removes the HBM round-trips that made the plain Pallas
+        conv an end-to-end loss — see ops/conv3_pallas.py and PERF.md.
+        """
+        br, tw = pick_blocks(
+            x.shape[1], x.shape[2], 2 * self.features, 2 * self.features
+        )
+        interpret = jax.default_backend() not in ("tpu", "axon")
+        k0, b0 = self._kernel_bias("0", x.dtype)
+        k1, b1 = self._kernel_bias("1", x.dtype)
+        a0, c0 = self._norms(x, "0", False, want_affine=True)
+        a1, c1 = self._norms(x, "1", False, want_affine=True)
+        h = conv3_fused_padded(
+            reflect_pad(x, 1), k0, a0, c0 + b0 * a0, relu=True,
+            block_rows=br, block_cols=tw, interpret=interpret,
+        )
+        return conv3_fused_padded(
+            reflect_pad(h, 1), k1, a1, c1 + b1 * a1, residual=x, relu=False,
+            block_rows=br, block_cols=tw, interpret=interpret,
+        )
+
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        if (
+            self.fuse
+            and not train
+            and pick_blocks(
+                x.shape[1], x.shape[2], 2 * self.features, 2 * self.features
+            )
+            is not None
+        ):
+            return self._fused(x)
         h = nn.relu(self._norms(self._conv(x, "0"), "0", train))
         h = self._norms(self._conv(h, "1"), "1", train)
         return x + h
@@ -212,13 +260,16 @@ class _FusedUpPair(nn.Module):
     n_up: int
     n_res: int
     norm: str
+    fuse_res: bool = False
 
     @nn.compact
     def __call__(self, xi: jax.Array, xf: jax.Array, train: bool = False):
         c = xi.shape[-1]
         x = jnp.concatenate([xi, xf], -1)
         for i in range(self.n_res):
-            x = _FusedResPair(c, self.norm, name=f"res{i}")(x, train)
+            x = _FusedResPair(
+                c, self.norm, fuse=self.fuse_res, name=f"res{i}"
+            )(x, train)
         for i in range(self.n_up):
             c = self.ngf * 2 ** (self.n_up - 1 - i)
             x = _FusedUpBlockPair(c, self.norm, name=f"up{i}")(x, train)
@@ -356,6 +407,7 @@ class CompositeLocalGenerator(nn.Module):
     norm: str = "batch"
     use_fg: bool = False
     no_flow: bool = False
+    fuse_res: bool = False  # eval-mode Pallas fused resblocks (--pallas_resblocks)
 
     @nn.compact
     def __call__(
@@ -388,7 +440,8 @@ class CompositeLocalGenerator(nn.Module):
         else:
             # the two equal-width up-stacks run fused (see _FusedUpPair)
             img_feat, flow_feat = _FusedUpPair(
-                ngf, 1, nbl, self.norm, name="up_pair"
+                ngf, 1, nbl, self.norm, fuse_res=self.fuse_res,
+                name="up_pair",
             )(d + coarse.img_feat, d + coarse.flow_feat, train)
         fg_feat = None
         if self.use_fg:

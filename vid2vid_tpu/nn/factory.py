@@ -80,6 +80,7 @@ def define_g(
             n_blocks_local=opt.n_blocks_local,
             n_downsample_g=opt.n_downsample_G, scale=scale,
             norm=opt.norm, use_fg=opt.fg, no_flow=opt.effective_no_flow,
+            fuse_res=getattr(opt, "pallas_resblocks", False),
         )
     if kind == "encoder":
         return Encoder(

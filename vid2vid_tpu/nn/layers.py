@@ -124,7 +124,9 @@ class BatchNorm(nn.Module):
     epsilon: float = 1e-5
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(
+        self, x: jax.Array, train: bool = False, want_affine: bool = False
+    ):
         c = x.shape[-1]
         scale = self.param("scale", _norm_scale_init, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
@@ -134,6 +136,12 @@ class BatchNorm(nn.Module):
         ra_var = self.variable(
             "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
         )
+        if want_affine:
+            # eval-mode norm as per-channel affine y = x*a + b (for fused
+            # conv epilogues; the normal output below is DCE'd under jit)
+            assert not train, "want_affine is an eval-mode contract"
+            a = scale * jax.lax.rsqrt(ra_var.value + self.epsilon)
+            affine = (a, bias - ra_mean.value * a)
         if train:
             axes = tuple(range(x.ndim - 1))
             mean = jnp.mean(x, axis=axes)
@@ -151,7 +159,8 @@ class BatchNorm(nn.Module):
             mean = ra_mean.value.astype(x.dtype)
             var = ra_var.value.astype(x.dtype)
         out = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
-        return out * scale.astype(x.dtype) + bias.astype(x.dtype)
+        out = out * scale.astype(x.dtype) + bias.astype(x.dtype)
+        return (out, affine) if want_affine else out
 
 
 class InstanceNorm(nn.Module):
@@ -168,7 +177,9 @@ class InstanceNorm(nn.Module):
     epsilon: float = 1e-5
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(
+        self, x: jax.Array, train: bool = False, want_affine: bool = False
+    ):
         c = x.shape[-1]
         ra_mean = self.variable(
             "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
@@ -176,6 +187,10 @@ class InstanceNorm(nn.Module):
         ra_var = self.variable(
             "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
         )
+        if want_affine:
+            assert not train, "want_affine is an eval-mode contract"
+            a = jax.lax.rsqrt(ra_var.value + self.epsilon)
+            affine = (a, -ra_mean.value * a)
         if train:
             mean = jnp.mean(x, axis=(1, 2), keepdims=True)
             var = jnp.var(x, axis=(1, 2), keepdims=True)
@@ -194,7 +209,8 @@ class InstanceNorm(nn.Module):
         else:
             mean = ra_mean.value.astype(x.dtype)
             var = ra_var.value.astype(x.dtype)
-        return (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        out = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return (out, affine) if want_affine else out
 
 
 class Norm(nn.Module):
@@ -208,11 +224,16 @@ class Norm(nn.Module):
     kind: str = "batch"
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(
+        self, x: jax.Array, train: bool = False, want_affine: bool = False
+    ):
         if self.kind == "batch":
-            return BatchNorm()(x, train=train)
+            return BatchNorm()(x, train=train, want_affine=want_affine)
         if self.kind == "instance":
-            return InstanceNorm()(x, train=train)
+            return InstanceNorm()(x, train=train, want_affine=want_affine)
         if self.kind == "none":
+            if want_affine:
+                c = x.shape[-1]
+                return x, (jnp.ones((c,), jnp.float32), jnp.zeros((c,), jnp.float32))
             return x
         raise ValueError(f"unknown norm kind {self.kind!r}")
