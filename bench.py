@@ -17,7 +17,8 @@ Grounding (extra keys in the same JSON object):
     VGG + temporal losses included, bf16 compute.
 
 Env knobs: BENCH_H/W/FRAMES/REPS/BF16/BATCH, BENCH_TRAIN=0 to skip the
-train bench, BENCH_TRAIN_FLOW=0 for the zero-flow stub, BENCH_PEAK_TFLOPS.
+train bench, BENCH_TRAIN_FLOW=0 for the zero-flow stub, BENCH_PEAK_TFLOPS,
+BENCH_FUSED_RES=1 for the Pallas fused-epilogue enhancer resblocks.
 """
 
 import json
@@ -65,6 +66,7 @@ def bench_inference():
         n_frames_G=3,
         norm="batch",
         bf16=os.environ.get("BENCH_BF16", "1") == "1",
+        pallas_resblocks=os.environ.get("BENCH_FUSED_RES", "0") == "1",
         isTrain=False,
     )
     eng = InferenceEngine(opt)
