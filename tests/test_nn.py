@@ -46,10 +46,8 @@ class TestLayers:
         m = Conv(6, kernel=3, stride=2, pad=1)
         params = {
             "params": {
-                "Conv_0": {
-                    "kernel": jnp.asarray(np.transpose(w, (2, 3, 1, 0))),
-                    "bias": jnp.asarray(b),
-                }
+                "kernel": jnp.asarray(np.transpose(w, (2, 3, 1, 0))),
+                "bias": jnp.asarray(b),
             }
         }
         got = m.apply(params, jnp.asarray(to_nhwc(x)))
@@ -65,10 +63,8 @@ class TestLayers:
         m = Conv(5, kernel=7, pad=3, pad_mode="reflect")
         params = {
             "params": {
-                "Conv_0": {
-                    "kernel": jnp.asarray(np.transpose(w, (2, 3, 1, 0))),
-                    "bias": jnp.asarray(b),
-                }
+                "kernel": jnp.asarray(np.transpose(w, (2, 3, 1, 0))),
+                "bias": jnp.asarray(b),
             }
         }
         got = m.apply(params, jnp.asarray(to_nhwc(x)))
@@ -314,6 +310,45 @@ class TestFusedResblocks:
         variables = fused.init(jax.random.key(0), x)
         out = fused.apply(variables, x, train=False)
         assert out.shape == x.shape
+
+    def test_composite_generator_fused_matches(self, rng):
+        """CompositeGenerator(fuse_res=True) == plain at a fusable width.
+
+        ngf=32 / 2 downsamples puts the trunk resblocks at 32x32x128 —
+        128-aligned and tileable, so the Pallas path actually engages
+        (interpret mode on CPU)."""
+        m0 = CompositeGenerator(ngf=32, n_downsampling=2, n_blocks=2, norm="batch")
+        m1 = CompositeGenerator(
+            ngf=32, n_downsampling=2, n_blocks=2, norm="batch", fuse_res=True
+        )
+        labels = jnp.asarray(
+            rng.standard_normal((1, 128, 128, 9)).astype(np.float32)
+        )
+        prev = jnp.asarray(
+            rng.standard_normal((1, 128, 128, 6)).astype(np.float32)
+        )
+        variables = m0.init(jax.random.key(0), labels, prev)
+        assert jax.tree.structure(variables) == jax.tree.structure(
+            m1.init(jax.random.key(0), labels, prev)
+        )
+        variables = {
+            **variables,
+            "batch_stats": jax.tree.map(
+                lambda v: jnp.asarray(
+                    (0.5 + 0.5 * rng.random(v.shape)).astype(np.float32)
+                ),
+                variables["batch_stats"],
+            ),
+        }
+        want = m0.apply(variables, labels, prev)
+        got = m1.apply(variables, labels, prev)
+        np.testing.assert_allclose(
+            np.asarray(got.img_final), np.asarray(want.img_final),
+            atol=5e-4, rtol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.flow), np.asarray(want.flow), atol=5e-3, rtol=1e-4
+        )
 
     def test_norm_want_affine_matches_eval(self, rng):
         from vid2vid_tpu.nn.layers import Norm

@@ -9,8 +9,10 @@ from __future__ import annotations
 
 import flax.linen as nn
 import jax
+import jax.numpy as jnp
 
 from vid2vid_tpu.nn.layers import Conv, ConvTranspose, Norm, reflect_pad
+from vid2vid_tpu.ops.conv3_pallas import conv3_fused_padded, pick_blocks
 
 
 class ConvStem(nn.Module):
@@ -53,19 +55,58 @@ class UpBlock(nn.Module):
 
 
 class ResnetBlock(nn.Module):
-    """Reflect-padded 3x3 residual block (conv-norm-relu-conv-norm + skip)."""
+    """Reflect-padded 3x3 residual block (conv-norm-relu-conv-norm + skip).
+
+    With `fuse=True` (opt-in via --pallas_resblocks) the eval-mode forward
+    runs each step as one fused-epilogue Pallas conv (eval norm folded to a
+    per-channel affine, relu / residual applied on the VMEM-resident
+    accumulator) — identical math, no extra HBM round-trips. Training and
+    unfusable shapes always take the plain path. Parameter tree is the
+    same either way.
+    """
 
     features: int
     norm: str = "batch"
+    fuse: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        h = Conv(self.features, kernel=3, pad=1, pad_mode="reflect")(x)
-        h = Norm(self.norm)(h, train=train)
-        h = nn.relu(h)
-        h = Conv(self.features, kernel=3, pad=1, pad_mode="reflect")(h)
-        h = Norm(self.norm)(h, train=train)
-        return x + h
+        conv1 = Conv(self.features, kernel=3, pad=1, pad_mode="reflect")
+        norm1 = Norm(self.norm)
+        conv2 = Conv(self.features, kernel=3, pad=1, pad_mode="reflect")
+        norm2 = Norm(self.norm)
+
+        fusable = (
+            self.fuse
+            and not train
+            and x.shape[-1] == self.features
+            and self.features % 128 == 0
+            and pick_blocks(x.shape[1], x.shape[2], self.features, self.features)
+            is not None
+        )
+        if not fusable:
+            h = nn.relu(norm1(conv1(x), train=train))
+            h = norm2(conv2(h), train=train)
+            return x + h
+
+        # declare identical params/variables; the probe outputs are DCE'd
+        _, (k1, b1) = conv1(x, want_params=True)
+        _, (a1, c1) = norm1(x, train=False, want_affine=True)
+        _, (k2, b2) = conv2(x, want_params=True)
+        _, (a2, c2) = norm2(x, train=False, want_affine=True)
+        br, tw = pick_blocks(
+            x.shape[1], x.shape[2], self.features, self.features
+        )
+        interpret = jax.default_backend() not in ("tpu", "axon")
+        h = conv3_fused_padded(
+            reflect_pad(x, 1), k1.astype(x.dtype), a1, c1 + b1 * a1,
+            relu=True, block_rows=br, block_cols=tw, interpret=interpret,
+        )
+        return conv3_fused_padded(
+            reflect_pad(h, 1), k2.astype(x.dtype), a2, c2 + b2 * a2,
+            residual=x, relu=False, block_rows=br, block_cols=tw,
+            interpret=interpret,
+        )
 
 
 class TanhHead(nn.Module):

@@ -283,6 +283,7 @@ class _TrunkTail(nn.Module):
     n_downsampling: int
     n_res: int
     norm: str
+    fuse_res: bool = False
 
     @nn.compact
     def __call__(self, stem_out, train=False):
@@ -290,7 +291,7 @@ class _TrunkTail(nn.Module):
         for i in range(self.n_downsampling):
             x = DownBlock(self.ngf * 2 ** (i + 1), self.norm)(x, train)
         for _ in range(self.n_res):
-            x = ResnetBlock(x.shape[-1], self.norm)(x, train)
+            x = ResnetBlock(x.shape[-1], self.norm, fuse=self.fuse_res)(x, train)
         return x
 
 
@@ -301,11 +302,12 @@ class _UpStack(nn.Module):
     n_up: int
     n_res: int
     norm: str
+    fuse_res: bool = False
 
     @nn.compact
     def __call__(self, x, train=False):
         for _ in range(self.n_res):
-            x = ResnetBlock(x.shape[-1], self.norm)(x, train)
+            x = ResnetBlock(x.shape[-1], self.norm, fuse=self.fuse_res)(x, train)
         for i in range(self.n_up):
             x = UpBlock(self.ngf * 2 ** (self.n_up - 1 - i), self.norm)(x, train)
         return x
@@ -346,6 +348,7 @@ class CompositeGenerator(nn.Module):
     norm: str = "batch"
     use_fg: bool = False
     no_flow: bool = False
+    fuse_res: bool = False  # eval-mode Pallas fused resblocks (--pallas_resblocks)
 
     @nn.compact
     def __call__(
@@ -367,21 +370,24 @@ class CompositeGenerator(nn.Module):
         )(jnp.concatenate([labels, prev_frames], -1))
         seg0, img0 = stems[0], stems[1]
 
-        d = _TrunkTail(ngf, nd, n_res_down, self.norm, name="down_seg")(
+        fr = self.fuse_res
+        d = _TrunkTail(ngf, nd, n_res_down, self.norm, fr, name="down_seg")(
             seg0, train
-        ) + _TrunkTail(ngf, nd, n_res_down, self.norm, name="down_img")(
+        ) + _TrunkTail(ngf, nd, n_res_down, self.norm, fr, name="down_img")(
             img0, train
         )
 
-        img_feat = _UpStack(ngf, nd, n_res_up, self.norm, name="up_img")(d, train)
+        img_feat = _UpStack(ngf, nd, n_res_up, self.norm, fr, name="up_img")(
+            d, train
+        )
         flow_feat = None
         if not self.no_flow:
-            flow_feat = _UpStack(ngf, nd, n_res_up, self.norm, name="up_flow")(
-                d, train
-            )
+            flow_feat = _UpStack(
+                ngf, nd, n_res_up, self.norm, fr, name="up_flow"
+            )(d, train)
         fg_feat = None
         if self.use_fg:
-            h = _TrunkTail(ngf_i, nd, nb, self.norm, name="fg_down")(
+            h = _TrunkTail(ngf_i, nd, nb, self.norm, fr, name="fg_down")(
                 stems[2], train
             )
             fg_feat = _UpStack(ngf_i, nd, 0, self.norm, name="fg_up")(h, train)
@@ -434,9 +440,9 @@ class CompositeLocalGenerator(nn.Module):
 
         flow_feat = None
         if self.no_flow:
-            img_feat = _UpStack(ngf, 1, nbl, self.norm, name="up_img")(
-                d + coarse.img_feat, train
-            )
+            img_feat = _UpStack(
+                ngf, 1, nbl, self.norm, self.fuse_res, name="up_img"
+            )(d + coarse.img_feat, train)
         else:
             # the two equal-width up-stacks run fused (see _FusedUpPair)
             img_feat, flow_feat = _FusedUpPair(
@@ -448,9 +454,9 @@ class CompositeLocalGenerator(nn.Module):
             h = _TrunkTail(ngf_i, 1, 0, self.norm, name="fg_down")(
                 stems[2], train
             )
-            fg_feat = _UpStack(ngf_i, 1, nbl, self.norm, name="fg_up")(
-                h + coarse.fg_feat, train
-            )
+            fg_feat = _UpStack(
+                ngf_i, 1, nbl, self.norm, self.fuse_res, name="fg_up"
+            )(h + coarse.fg_feat, train)
 
         return _compose(
             self, labels, prev_frames, mask, use_raw_only,

@@ -73,6 +73,7 @@ def define_g(
             output_nc=opt.output_nc, ngf=ngf,
             n_downsampling=opt.n_downsample_G, n_blocks=opt.n_blocks,
             norm=opt.norm, use_fg=opt.fg, no_flow=opt.effective_no_flow,
+            fuse_res=getattr(opt, "pallas_resblocks", False),
         )
     if kind == "compositeLocal":
         return CompositeLocalGenerator(

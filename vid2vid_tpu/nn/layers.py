@@ -43,6 +43,10 @@ class Conv(nn.Module):
 
     `pad_mode='reflect'` applies reflection padding before a VALID conv
     (the reference's ReflectionPad2d + Conv2d(padding=0) idiom).
+
+    Owns its `kernel`/`bias` parameters directly (HWIO, same layout flax's
+    nn.Conv uses) so callers building fused kernels can obtain them via
+    `want_params` — the normal output is DCE'd under jit in that case.
     """
 
     features: int
@@ -53,20 +57,37 @@ class Conv(nn.Module):
     use_bias: bool = True
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, want_params: bool = False):
+        kernel = self.param(
+            "kernel",
+            conv_kernel_init,
+            (self.kernel, self.kernel, x.shape[-1], self.features),
+            jnp.float32,
+        )
+        bias = (
+            self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+            if self.use_bias
+            else None
+        )
         if self.pad > 0 and self.pad_mode == "reflect":
             x = reflect_pad(x, self.pad)
             padding = "VALID"
         else:
             padding = ((self.pad, self.pad), (self.pad, self.pad))
-        return nn.Conv(
-            features=self.features,
-            kernel_size=(self.kernel, self.kernel),
-            strides=(self.stride, self.stride),
-            padding=padding,
-            use_bias=self.use_bias,
-            kernel_init=conv_kernel_init,
-        )(x)
+        y = jax.lax.conv_general_dilated(
+            x,
+            kernel.astype(x.dtype),
+            (self.stride, self.stride),
+            padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
+        if want_params:
+            return y, (kernel, bias)
+        return y
 
 
 class ConvTranspose(nn.Module):

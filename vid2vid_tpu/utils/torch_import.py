@@ -34,9 +34,10 @@ def convert_tensor(arr: np.ndarray, kind: str) -> np.ndarray:
 
 
 def _conv(tkey: str, fpath: tuple, bias: bool = True) -> Iterator[Triple]:
-    yield f"{tkey}.weight", ("params", *fpath, "Conv_0", "kernel"), "conv"
+    # nn.layers.Conv owns its params directly (no nested flax nn.Conv scope)
+    yield f"{tkey}.weight", ("params", *fpath, "kernel"), "conv"
     if bias:
-        yield f"{tkey}.bias", ("params", *fpath, "Conv_0", "bias"), "copy"
+        yield f"{tkey}.bias", ("params", *fpath, "bias"), "copy"
 
 
 def _convT(tkey: str, fpath: tuple, bias: bool = True) -> Iterator[Triple]:
