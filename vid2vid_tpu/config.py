@@ -136,7 +136,7 @@ class Options:
     # TPU-specific extensions (no reference analog)
     bf16: bool = False  # bfloat16 activations/compute policy
     remat: bool = False  # rematerialize generator scales in training
-    pallas_resblocks: bool = False  # eval-mode fused-epilogue Pallas resblocks (enhancers)
+    pallas_resblocks: bool = False  # fused-epilogue Pallas resblocks: measured NEGATIVE end-to-end (PERF.md), keep off
     seed: int = 0
 
     @property

@@ -60,7 +60,9 @@ class ResnetBlock(nn.Module):
     With `fuse=True` (opt-in via --pallas_resblocks) the eval-mode forward
     runs each step as one fused-epilogue Pallas conv (eval norm folded to a
     per-channel affine, relu / residual applied on the VMEM-resident
-    accumulator) — identical math, no extra HBM round-trips. Training and
+    accumulator) — identical math. Measured end-to-end this LOSES to the
+    plain XLA path in the full model despite standalone wins (PERF.md
+    "Fused-epilogue resblocks"), so the flag defaults off. Training and
     unfusable shapes always take the plain path. Parameter tree is the
     same either way.
     """

@@ -13,8 +13,13 @@ the MXU win. Kept in-tree as a measured baseline; see PERF.md.
 calls for: the eval-mode resblock epilogue (norm folded to a per-channel
 affine, optional residual add, optional ReLU) applied to the f32
 accumulator while it is still VMEM-resident, so fusing through the
-pallas_call boundary costs nothing. Wiring it into the inference
-resblocks is gated on a standalone on-chip win (see PERF.md).
+pallas_call boundary costs nothing. MEASURED OUTCOME (round 3, PERF.md
+"Fused-epilogue resblocks"): standalone it wins 1.4-1.6x at the
+enhancer respair shapes and survives a lax.scan context, but wired into
+the full model (--pallas_resblocks) it regresses the 2048x1024 bench
+4.79 -> 3.40 fps, attributed entirely to the enhancer sites and not to
+VMEM tile pressure — producer/consumer materialization at the kernel
+boundary in context. The flag therefore defaults OFF.
 
 The generators spend most of their conv time in 3x3 stride-1 convs — the
 scale-0 resblocks (1024 ch at 64x32 after 3 downsamples of the 512x256
