@@ -18,6 +18,10 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# CPU convs/matmuls run in reduced precision by default (measured: a single
+# f32 4x4 conv differs from torch by 2e-3 rel; 'highest' restores 3e-7).
+# Parity tests compare against torch f32, so force full f32 accumulation.
+jax.config.update("jax_default_matmul_precision", "highest")
 
 import numpy as np
 import pytest
@@ -26,6 +30,11 @@ import pytest
 def pytest_configure(config):
     assert jax.devices()[0].platform == "cpu", (
         "tests must run on CPU, got " + jax.devices()[0].platform
+    )
+    config.addinivalue_line(
+        "markers",
+        "slow: multi-minute golden/mesh/oracle tier; "
+        "`pytest -m 'not slow'` is the fast developer loop",
     )
 
 

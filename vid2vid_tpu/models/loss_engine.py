@@ -13,6 +13,14 @@ caller differentiates w.r.t. generator params only), `discriminator_losses`
 takes pre-generated frames as constants. This reproduces the reference's
 three optimizer groups without its retain-graph bookkeeping.
 
+`train=True` applies the discriminators with per-batch norm statistics —
+the reference's D modules are in train() mode during training, so their
+BatchNorm layers normalize each forward with the current batch's stats
+(reference: models/networks.py:688-707 norm_layer default BatchNorm2d;
+train.py never calls eval() on the Ds). Running stats are not updated
+inside the jitted loss (the reference's running-stat updates never affect
+train-time forwards or gradients).
+
 All frame tensors arrive flattened over time — (B*T, H, W, C) — matching
 the reference's `reshape` before the D call (reference: train.py:140-145).
 """
@@ -150,6 +158,7 @@ class LossEngine:
         weight,
         flow_ref,
         conf_ref,
+        train: bool = False,
     ) -> dict[str, jax.Array]:
         """All generator-side spatial losses; D/VGG params held constant.
 
@@ -193,12 +202,16 @@ class LossEngine:
 
         # GAN + feature matching (live fake; D params constant to the caller)
         d_params = jax.lax.stop_gradient(params["D"])
-        pred_real = self.netD.apply(d_params, jnp.concatenate([real_a, real_b], -1))
-        pred_fake = self.netD.apply(d_params, jnp.concatenate([real_a, fake_b], -1))
+        pred_real = self.netD.apply(
+            d_params, jnp.concatenate([real_a, real_b], -1), train
+        )
+        pred_fake = self.netD.apply(
+            d_params, jnp.concatenate([real_a, fake_b], -1), train
+        )
         g_gan, g_fm = self._gan_and_fm(pred_fake, pred_real)
         if fake_b_raw is not None:
             pred_fake_raw = self.netD.apply(
-                d_params, jnp.concatenate([real_a, fake_b_raw], -1)
+                d_params, jnp.concatenate([real_a, fake_b_raw], -1), train
             )
             g2, f2 = self._gan_and_fm(pred_fake_raw, pred_real)
             g_gan, g_fm = g_gan + g2, g_fm + f2
@@ -210,11 +223,11 @@ class LossEngine:
 
         if self.netD_f is not None:
             losses.update(
-                self._face_g_losses(params, real_a, real_b, fake_b)
+                self._face_g_losses(params, real_a, real_b, fake_b, train)
             )
         return losses
 
-    def _face_g_losses(self, params, real_a, real_b, fake_b):
+    def _face_g_losses(self, params, real_a, real_b, fake_b, train=False):
         found, y0, x0 = self.face_region(real_a)
         df_params = jax.lax.stop_gradient(params["D_f"])
 
@@ -222,8 +235,8 @@ class LossEngine:
             ra = self._crop_face(real_a, y0, x0)
             rb = self._crop_face(real_b, y0, x0)
             fb = self._crop_face(fake_b, y0, x0)
-            pr = self.netD_f.apply(df_params, jnp.concatenate([ra, rb], -1))
-            pf = self.netD_f.apply(df_params, jnp.concatenate([ra, fb], -1))
+            pr = self.netD_f.apply(df_params, jnp.concatenate([ra, rb], -1), train)
+            pf = self.netD_f.apply(df_params, jnp.concatenate([ra, fb], -1), train)
             g, f = self._gan_and_fm(pf, pr)
             return g * 2.0, f * 2.0  # face_weight = 2
 
@@ -236,23 +249,23 @@ class LossEngine:
     # -------------------------------------------------------------- D losses
 
     def discriminator_losses(
-        self, params, real_a, real_b, fake_b, fake_b_raw
+        self, params, real_a, real_b, fake_b, fake_b_raw, train: bool = False
     ) -> dict[str, jax.Array]:
         """D-side losses on detached fakes (caller differentiates w.r.t. D)."""
         opt = self.opt
         fake_b = jax.lax.stop_gradient(fake_b)
         pred_real = self.netD.apply(
-            params["D"], jnp.concatenate([real_a, real_b], -1)
+            params["D"], jnp.concatenate([real_a, real_b], -1), train
         )
         pred_fake = self.netD.apply(
-            params["D"], jnp.concatenate([real_a, fake_b], -1)
+            params["D"], jnp.concatenate([real_a, fake_b], -1), train
         )
         d_real = gan_loss(pred_real, True, opt.gan_mode)
         d_fake = gan_loss(pred_fake, False, opt.gan_mode)
         if fake_b_raw is not None:
             raw = jax.lax.stop_gradient(fake_b_raw)
             pred_fr = self.netD.apply(
-                params["D"], jnp.concatenate([real_a, raw], -1)
+                params["D"], jnp.concatenate([real_a, raw], -1), train
             )
             d_real = d_real + gan_loss(pred_real, True, opt.gan_mode)
             d_fake = d_fake + gan_loss(pred_fr, False, opt.gan_mode)
@@ -266,10 +279,10 @@ class LossEngine:
                 rb = self._crop_face(real_b, y0, x0)
                 fb = self._crop_face(fake_b, y0, x0)
                 pr = self.netD_f.apply(
-                    params["D_f"], jnp.concatenate([ra, rb], -1)
+                    params["D_f"], jnp.concatenate([ra, rb], -1), train
                 )
                 pf = self.netD_f.apply(
-                    params["D_f"], jnp.concatenate([ra, fb], -1)
+                    params["D_f"], jnp.concatenate([ra, fb], -1), train
                 )
                 return (
                     gan_loss(pr, True, opt.gan_mode),
@@ -296,12 +309,17 @@ class LossEngine:
         return x
 
     def temporal_g_losses(
-        self, params, scale_t, real_groups, fake_groups, flow_ref_groups
+        self, params, scale_t, real_groups, fake_groups, flow_ref_groups,
+        train: bool = False,
     ):
         dt_params = jax.lax.stop_gradient(params[f"D_T{scale_t}"])
         net = self.netD_T[scale_t]
-        pr = net.apply(dt_params, self._dt_input(real_groups, flow_ref_groups))
-        pf = net.apply(dt_params, self._dt_input(fake_groups, flow_ref_groups))
+        pr = net.apply(
+            dt_params, self._dt_input(real_groups, flow_ref_groups), train
+        )
+        pf = net.apply(
+            dt_params, self._dt_input(fake_groups, flow_ref_groups), train
+        )
         g, f = self._gan_and_fm(pf, pr)
         return {
             f"G_T_GAN": g,
@@ -310,16 +328,21 @@ class LossEngine:
         }
 
     def temporal_d_losses(
-        self, params, scale_t, real_groups, fake_groups, flow_ref_groups
+        self, params, scale_t, real_groups, fake_groups, flow_ref_groups,
+        train: bool = False,
     ):
         opt = self.opt
         net = self.netD_T[scale_t]
         fake_groups = jax.lax.stop_gradient(fake_groups)
         pr = net.apply(
-            params[f"D_T{scale_t}"], self._dt_input(real_groups, flow_ref_groups)
+            params[f"D_T{scale_t}"],
+            self._dt_input(real_groups, flow_ref_groups),
+            train,
         )
         pf = net.apply(
-            params[f"D_T{scale_t}"], self._dt_input(fake_groups, flow_ref_groups)
+            params[f"D_T{scale_t}"],
+            self._dt_input(fake_groups, flow_ref_groups),
+            train,
         )
         return {
             "D_T_real": gan_loss(pr, True, opt.gan_mode),

@@ -72,9 +72,13 @@ class MultiscaleDiscriminator(nn.Module):
         results = []
         inp = x
         for i in range(self.num_d):
-            # scale index: num_d-1 sees full res (reference naming parity)
+            # scale index: num_d-1 sees full res (reference naming parity);
+            # torch scale{j} is built with ndf*2^(num_D-1-j) capped at 64
+            # (reference: models/networks.py:643-645) — i.e. the finest copy
+            # has ndf channels and each coarser copy doubles. For scale_idx
+            # = num_d-1-i that exponent is exactly i.
             scale_idx = self.num_d - 1 - i
-            ndf_i = min(64, self.ndf * 2**scale_idx)
+            ndf_i = min(64, self.ndf * 2**i)
             d = NLayerDiscriminator(
                 ndf_i,
                 self.n_layers,

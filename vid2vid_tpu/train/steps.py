@@ -32,6 +32,22 @@ def _flat(x):
     return x.reshape((-1,) + x.shape[2:])
 
 
+def _param_grad_norm(grads) -> jax.Array:
+    """Global L2 norm over the 'params' collections only.
+
+    Gradient trees here mirror flax variable dicts ({'params', possibly
+    'batch_stats'}); torch's parameter grad norm counts weights only, so
+    the (identically zero) batch_stats cotangents are excluded.
+    """
+    leaves = []
+    for key, sub in grads.items():
+        if isinstance(sub, dict) and "params" in sub:
+            leaves.append(sub["params"])
+        else:
+            leaves.append(sub)
+    return optax.global_norm(leaves)
+
+
 def make_g_step(gen: Vid2VidGenerator, engine: LossEngine, opt, g_tx):
     """Generator step factory.
 
@@ -115,6 +131,7 @@ def make_g_step(gen: Vid2VidGenerator, engine: LossEngine, opt, g_tx):
                 _flat(outs.weight) if outs.weight is not None else None,
                 _flat(flow_ref),
                 _flat(conf_ref),
+                train=True,
             )
             if opt.sparse_D:
                 n_load = enc_a.shape[1] - tG + 1
@@ -133,7 +150,7 @@ def make_g_step(gen: Vid2VidGenerator, engine: LossEngine, opt, g_tx):
                 t_losses.append(
                     engine.temporal_g_losses(
                         state.dparams, s, real_skipped[s], fake_skipped[s],
-                        flow_skipped[s],
+                        flow_skipped[s], train=True,
                     )
                 )
             total = engine.total_g_loss(losses, t_losses)
@@ -150,6 +167,9 @@ def make_g_step(gen: Vid2VidGenerator, engine: LossEngine, opt, g_tx):
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.gparams
         )
+        # the reference reports/clips nothing, but the per-group grad norm is
+        # the cheapest training-health scalar and the oracle tests pin it
+        aux["grad_norm"] = _param_grad_norm(grads)
         updates, new_opt_g = g_tx.update(grads, state.opt_g, state.gparams)
         new_gparams = optax.apply_updates(state.gparams, updates)
         new_state = state.replace(gparams=new_gparams, opt_g=new_opt_g)
@@ -182,12 +202,16 @@ def make_d_step(engine: LossEngine, opt, d_tx):
 
         def loss_fn(dparams):
             losses = engine.discriminator_losses(
-                dparams, real_a, real_b, fake_f, raw_f
+                dparams, real_a, real_b, fake_f, raw_f, train=True
             )
             return LossEngine.total_d_loss(losses), losses
 
         (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.dparams
+        )
+        losses = dict(losses)
+        losses["D_grad_norm"] = _param_grad_norm(
+            {k: v for k, v in grads.items() if k in ("D", "D_f")}
         )
         updates, new_opt_d = d_tx.update(grads, state.opt_d, state.dparams)
         new_dparams = optax.apply_updates(state.dparams, updates)
@@ -216,13 +240,16 @@ def make_dt_step(engine: LossEngine, opt, dt_tx):
             dparams = dict(state.dparams)
             dparams[key] = dt_params
             losses = engine.temporal_d_losses(
-                dparams, scale, real_groups, fake_groups, flow_groups
+                dparams, scale, real_groups, fake_groups, flow_groups,
+                train=True,
             )
             return (losses["D_T_fake"] + losses["D_T_real"]) * 0.5, losses
 
         (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.dparams[key]
         )
+        losses = dict(losses)
+        losses["D_T_grad_norm"] = _param_grad_norm({key: grads})
         opt_state = state.opt_dt[scale]
         updates, new_opt = dt_tx.update(grads, opt_state, state.dparams[key])
         new_dt = optax.apply_updates(state.dparams[key], updates)
