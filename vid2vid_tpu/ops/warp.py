@@ -178,21 +178,79 @@ def flow_warp_im2col(image: jax.Array, flow: jax.Array) -> jax.Array:
     return top * (1 - wy) + bot * wy
 
 
+def _segment_add_sorted(vals: jax.Array, keys: jax.Array, n: int) -> jax.Array:
+    """Sum rows of `vals` (N, C) by `keys` (N,) int32 in [0, n) -> (n, C).
+
+    TPU-friendly scatter-add replacement: XLA's scatter with duplicate
+    indices serializes on TPU (measured 1.4 s for a 0.5M-element add at
+    256x512 — ~200x the matching gather), so instead:
+      sort by key -> cumsum -> segment totals = S(q) - S(q-1) where
+      S(q) = cumsum at the last row with key <= q (vectorized binary
+      search). Only sorts, gathers, and a prefix sum — all fast TPU ops.
+    f32 accumulation; cancellation in the cumsum difference is bounded by
+    eps * (running sum / segment sum), fine for gradient magnitudes.
+    """
+    order = jnp.argsort(keys)
+    sk = keys[order]
+    sv = jnp.take(vals, order, axis=0).astype(jnp.float32)
+    c = jnp.cumsum(sv, axis=0)
+    pos = jnp.searchsorted(sk, jnp.arange(n, dtype=sk.dtype), side="right") - 1
+    s = jnp.where((pos >= 0)[:, None], jnp.take(c, jnp.maximum(pos, 0), axis=0), 0.0)
+    return s - jnp.concatenate([jnp.zeros_like(s[:1]), s[:-1]], axis=0)
+
+
+def _warp_x_cotangent(shape, dtype, flow: jax.Array, g: jax.Array) -> jax.Array:
+    """d(flow_warp)/d(image) applied to cotangent g — the bilinear 'splat'.
+
+    Mirrors the patch/im2col tap construction exactly (floor clipped to
+    [0, size-2], fractional weights clipped to [0, 1] — border-clamp
+    equivalent), then adds each pixel's 4 weighted cotangent taps into the
+    source image positions via the sorted segment reduction above.
+    """
+    b, h, w, c = shape
+    sy = jax.lax.broadcasted_iota(jnp.float32, (b, h, w), 1) + flow[..., 1].astype(
+        jnp.float32
+    )
+    sx = jax.lax.broadcasted_iota(jnp.float32, (b, h, w), 2) + flow[..., 0].astype(
+        jnp.float32
+    )
+    y0 = jnp.clip(jnp.floor(sy).astype(jnp.int32), 0, h - 2)
+    x0 = jnp.clip(jnp.floor(sx).astype(jnp.int32), 0, w - 2)
+    wy = jnp.clip(sy - y0.astype(jnp.float32), 0.0, 1.0)
+    wx = jnp.clip(sx - x0.astype(jnp.float32), 0.0, 1.0)
+
+    base = y0 * w + x0  # (B, H, W)
+    gf = g.astype(jnp.float32)
+    taps_w = [(1 - wx) * (1 - wy), wx * (1 - wy), (1 - wx) * wy, wx * wy]
+    taps_k = [base, base + 1, base + w, base + w + 1]
+    vals = jnp.concatenate(
+        [(gf * tw[..., None]).reshape(b, h * w, c) for tw in taps_w], axis=1
+    )
+    keys = jnp.concatenate([tk.reshape(b, h * w) for tk in taps_k], axis=1)
+    dx = jax.vmap(lambda v, k: _segment_add_sorted(v, k, h * w))(vals, keys)
+    return dx.reshape(b, h, w, c).astype(dtype)
+
+
 @jax.custom_vjp
 def flow_warp(image: jax.Array, flow: jax.Array) -> jax.Array:
     """Bilinear border warp (exact reference semantics, TPU-tuned path).
 
     Forward is the im2col neighborhood-gather formulation (fastest measured:
-    21.4 ms vs 38.2 patch vs 66 ref @2048x1024 bf16 on v5e). Backward is the
-    VJP of the patch-gather formulation: the two are mathematically identical
-    (same taps, same clamped weights; grad parity ~1e-7 in f32), but the
-    im2col backward — a (1,1,4C)-slice scatter into the packed neighborhood
-    tensor followed by the concat/edge-pad transposes — makes TPU training
-    NaN at the 1024x1024 3-scale bf16 crop config from the second clip on,
-    while the patch backward trains finite (bisected live on v5e by flipping
-    only this function with everything else fixed; CPU reproduces no
-    difference, so the defect is in the TPU lowering of that scatter chain,
-    not in the math).
+    21.4 ms vs 38.2 patch vs 66 ref @2048x1024 bf16 on v5e). Backward is
+    hand-written:
+      - d/d(flow): autodiff of the patch-gather formulation with the image
+        held constant — gathers and elementwise only, fast. (The im2col
+        formulation's backward is additionally avoided because its TPU
+        lowering produced training NaNs at the 1024x1024 3-scale bf16 crop
+        config — bisected live on v5e in round 3.)
+      - d/d(image): the bilinear splat via a sort+cumsum segment reduction
+        (`_segment_add_sorted`) instead of XLA's scatter-add, which
+        serializes on TPU with duplicate indices — measured 1.44 s at
+        256x512 / 11.6 s at 1024x1024 for the scatter vs ~ms-scale for
+        this formulation. Without this, any training config with
+        n_frames_bp > 1 (the reference's curriculum raises it,
+        base_model.py:169-175) is backward-bound by two orders of
+        magnitude.
     """
     return flow_warp_im2col(image, flow)
 
@@ -203,8 +261,10 @@ def _flow_warp_fwd(image, flow):
 
 def _flow_warp_bwd(res, g):
     image, flow = res
-    _, vjp = jax.vjp(flow_warp_patch, image, flow)
-    return vjp(g)
+    _, vjp_flow = jax.vjp(lambda f: flow_warp_patch(image, f), flow)
+    (dflow,) = vjp_flow(g)
+    dimage = _warp_x_cotangent(image.shape, image.dtype, flow, g)
+    return dimage, dflow
 
 
 flow_warp.defvjp(_flow_warp_fwd, _flow_warp_bwd)
