@@ -161,12 +161,10 @@ class InferenceEngine:
         enc_a = self._shard_width(enc_a, 3)
         return self._clip_fn(params, enc_a, state, use_raw_only)
 
-    def generate_clip_raw(self, params, labels, inst, state, use_raw_only=False):
-        """Clip from RAW labels/instances — encodes inside the scan.
-
-        Preferred serving path at high resolution: the clip-wide one-hot
-        pyramid is never materialized (see generate_clip_streaming).
-        """
+    def _ensure_clip_raw_fn(self):
+        """Build (or return) the jitted raw-label clip fn — exposed so tests
+        can AOT-lower it with sharded ShapeDtypeStructs (GSPMD halo checks
+        at full resolution without materializing full-res arrays)."""
         if self._clip_raw_fn is None:
             dt = self.compute_dtype
 
@@ -184,6 +182,15 @@ class InferenceEngine:
                 )
 
             self._clip_raw_fn = fn
+        return self._clip_raw_fn
+
+    def generate_clip_raw(self, params, labels, inst, state, use_raw_only=False):
+        """Clip from RAW labels/instances — encodes inside the scan.
+
+        Preferred serving path at high resolution: the clip-wide one-hot
+        pyramid is never materialized (see generate_clip_streaming).
+        """
+        self._ensure_clip_raw_fn()
         has_inst = inst is not None
         labels = self._shard_width(labels, 3)
         if inst is None:
@@ -194,12 +201,9 @@ class InferenceEngine:
 
     # ------------------------------------------------------------------ step
 
-    def step(self, params, labels_window, inst_window, state, use_raw_only=False):
-        """One frame from a raw (B, tG, H, W[, C]) label window + state.
-
-        Encoding (one-hot, instance edges) happens inside the jit — every
-        eager op is a round trip on remote-device platforms.
-        """
+    def _ensure_step_fn(self):
+        """Build (or return) the jitted one-frame step fn (see
+        _ensure_clip_raw_fn for why this is a separate method)."""
         if self._step_fn is None:
             dt = self.compute_dtype
 
@@ -216,6 +220,15 @@ class InferenceEngine:
                 return outs.fake[:, 0].astype(jnp.float32), new_state
 
             self._step_fn = fn
+        return self._step_fn
+
+    def step(self, params, labels_window, inst_window, state, use_raw_only=False):
+        """One frame from a raw (B, tG, H, W[, C]) label window + state.
+
+        Encoding (one-hot, instance edges) happens inside the jit — every
+        eager op is a round trip on remote-device platforms.
+        """
+        self._ensure_step_fn()
         labels_window = self._shard_width(labels_window, 3)
         inst_window = self._shard_width(inst_window, 3)
         return self._step_fn(params, labels_window, inst_window, state, use_raw_only)

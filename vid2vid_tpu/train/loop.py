@@ -118,6 +118,12 @@ class Trainer:
                 td=opt.n_frames_D,
             )
         )
+        # perf accounting hook: when record_costs is set, train_chunk stores
+        # ShapeDtypeStructs of each step's arguments (captured BEFORE the
+        # call — donation invalidates the real buffers) so bench.py can
+        # .lower() the jitted steps and sum cost_analysis FLOPs per iteration
+        self.record_costs = False
+        self.last_step_shapes: list | None = None
 
     # ------------------------------------------------------------------ setup
 
@@ -231,16 +237,26 @@ class Trainer:
                     )
 
         # --- G step
-        state, loss_g, aux = self.g_step(
-            state, enc_a, real_b, carry.gen_state, flow_ref, conf_ref,
-            carry.fake_prev_first, carry.fake_buf,
-            tuple(real_skipped), tuple(flow_skipped),
+        def _sds(tree):
+            return jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), tree
+            )
+
+        g_kwargs = dict(
             use_raw_only=use_raw_only,
             n_frames_bp=self.schedule.n_frames_bp,
             finetune_all=self.schedule.finetune_all,
             first_chunk=first_chunk,
             chunk_start=carry.chunk_start,
         )
+        g_args = (
+            state, enc_a, real_b, carry.gen_state, flow_ref, conf_ref,
+            carry.fake_prev_first, carry.fake_buf,
+            tuple(real_skipped), tuple(flow_skipped),
+        )
+        if self.record_costs:
+            self.last_step_shapes = [("g", _sds(g_args), g_kwargs)]
+        state, loss_g, aux = self.g_step(*g_args, **g_kwargs)
         outs = aux["outs"]
         self.last_outs = outs  # for visualization (device arrays, lazy)
         self.last_inputs = (labels, real_b, flow_ref, conf_ref)
@@ -250,10 +266,16 @@ class Trainer:
         fake_skipped = aux["fake_skipped"]
 
         # --- D step
-        state, loss_d, d_losses = self.d_step(
+        d_args = (
             state, enc_a, real_b, outs.fake,
             outs.raw if not use_raw_only else None,
-            with_raw=not use_raw_only,
+        )
+        if self.record_costs:
+            self.last_step_shapes.append(
+                ("d", _sds(d_args), dict(with_raw=not use_raw_only))
+            )
+        state, loss_d, d_losses = self.d_step(
+            *d_args, with_raw=not use_raw_only
         )
 
         # --- temporal D steps
@@ -261,16 +283,19 @@ class Trainer:
         for s in range(t_scales):
             if real_skipped[s] is None or fake_skipped[s] is None:
                 continue
-            state, loss_dt, dtl = self.dt_step(
+            dt_args = (
                 state, real_skipped[s], fake_skipped[s], flow_skipped[s],
-                scale=s,
             )
+            if self.record_costs:
+                self.last_step_shapes.append(("dt", _sds(dt_args), dict(scale=s)))
+            state, loss_dt, dtl = self.dt_step(*dt_args, scale=s)
             dt_losses.append(dtl)
 
         carry.chunk_start += n_load
         self.schedule.total_steps += self.opt.batchSize
 
         loss_dict = {k: float(v) for k, v in aux["losses"].items()}
+        loss_dict["G_grad_norm"] = float(aux["grad_norm"])
         loss_dict.update({k: float(v) for k, v in d_losses.items()})
         for s, dtl in enumerate(dt_losses):
             loss_dict.update({f"{k}{s}": float(v) for k, v in dtl.items()})
