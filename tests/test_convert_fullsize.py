@@ -38,6 +38,8 @@ from tests.test_torch_import import (
 from vid2vid_tpu.nn.composite import CompositeGenerator, CompositeLocalGenerator, CompositeOut
 from vid2vid_tpu.tools import convert_checkpoint
 
+pytestmark = pytest.mark.slow  # multi-minute golden/oracle tier
+
 
 def _warp_torch(im, flow):
     b, _, h, w = im.shape

@@ -37,6 +37,8 @@ from vid2vid_tpu.utils.torch_import import (
     flownet_sd_mapping,
 )
 
+pytestmark = pytest.mark.slow  # multi-minute golden/oracle tier
+
 
 def to_nhwc(x):
     return np.transpose(np.asarray(x), (0, 2, 3, 1))

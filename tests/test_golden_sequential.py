@@ -29,6 +29,8 @@ from vid2vid_tpu.utils.torch_import import (
     composite_local_mapping,
 )
 
+pytestmark = pytest.mark.slow  # multi-minute golden/oracle tier
+
 TG = 3
 N_SCALES = 2
 LABEL_NC = 4
