@@ -257,13 +257,14 @@ def bench_train_crop():
     rng = np.random.default_rng(0)
     labels, imgs = moving_square_clip(rng, 6, size, size, n_classes=35)
     labels, imgs = jnp.asarray(labels), jnp.asarray(imgs)
+    inst = labels  # the square is one object: label map doubles as ids
 
-    state, _ = trainer.train_clip(state, labels, imgs)  # compile + warmup
+    state, _ = trainer.train_clip(state, labels, imgs, inst)  # compile + warmup
     n_chunks = 4  # 6 frames, tG-1 seed, chunks of 1
     reps = int(os.environ.get("BENCH_CROP_REPS", 1))
     t0 = time.perf_counter()
     for _ in range(reps):
-        state, losses = trainer.train_clip(state, labels, imgs)
+        state, losses = trainer.train_clip(state, labels, imgs, inst)
     dt = (time.perf_counter() - t0) / reps
     if not all(np.isfinite(v) for v in losses.values()):
         raise RuntimeError(f"non-finite losses in crop train: {losses}")
