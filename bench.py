@@ -169,7 +169,7 @@ def bench_train():
 
     height, width = 256, 512
     opt = Options(
-        label_nc=35, use_instance=False, fg=True, fg_labels=(26,),
+        label_nc=35, use_instance=True, fg=True, fg_labels=(26,),
         ngf=128, n_downsample_G=3, n_blocks=9, n_scales_spatial=1,
         n_frames_G=3, n_frames_D=3, n_scales_temporal=2,
         n_frames_total=6, max_frames_per_gpu=2,
@@ -192,17 +192,21 @@ def bench_train():
     rng = np.random.default_rng(0)
     labels, imgs = moving_square_clip(rng, 8, height, width, n_classes=35)
     labels, imgs = jnp.asarray(labels), jnp.asarray(imgs)
+    # --use_instance is part of the train_512 recipe: the instance-edge
+    # channel widens G and D inputs. The moving square is one object, so
+    # the label map doubles as instance ids.
+    inst = labels
 
     # warmup/compile: one full clip (3 chunks of n_frames_load=2); record
     # each step's arg shapes so we can cost_analysis the compiled steps
     trainer.record_costs = True
-    state, _ = trainer.train_clip(state, labels, imgs)
+    state, _ = trainer.train_clip(state, labels, imgs, inst)
     trainer.record_costs = False
     n_chunks = 3
     reps = int(os.environ.get("BENCH_TRAIN_REPS", 2))
     t0 = time.perf_counter()
     for _ in range(reps):
-        state, losses = trainer.train_clip(state, labels, imgs)
+        state, losses = trainer.train_clip(state, labels, imgs, inst)
     dt = (time.perf_counter() - t0) / reps  # train_clip reads losses -> sync
     iters_per_sec = n_chunks / dt
 
@@ -379,7 +383,7 @@ def main():
             record.update(train_extras)
             flow = os.environ.get("BENCH_TRAIN_FLOW", "1") == "1"
             record["train_config"] = (
-                "512x256 bs1 tG3 chunk2 G+D+2xD_T vgg bf16 "
+                "512x256 bs1 tG3 chunk2 use_instance G+D+2xD_T vgg bf16 "
                 + ("flownet2-ref" if flow else "zero-flow-ref")
             )
         except Exception as e:  # noqa: BLE001 — keep the primary metric

@@ -214,11 +214,13 @@ class TestMeshMultiChunk:
             # through the recurrent train-BN generator; the train-mode
             # spatial D re-normalizes by their batch stats → 3e-4; the
             # temporal D sees 2-chunk-accumulated groups → 3e-3), so the
-            # loss tolerance is 1e-2 and grad norms (see above) 5e-2.
+            # loss tolerance is 2x the measured 3e-3 noise ceiling (an
+            # O(1e-2) sharded-math regression still fails) and grad norms
+            # (see above) 5e-2.
             tol = (
                 dict(rtol=5e-2, atol=1e-4)
                 if "grad_norm" in k
-                else dict(rtol=1e-2, atol=1e-4)
+                else dict(rtol=6e-3, atol=1e-4)
             )
             np.testing.assert_allclose(sharded[k], ref[k], err_msg=k, **tol)
 

@@ -19,7 +19,12 @@ BatchNorm layers normalize each forward with the current batch's stats
 (reference: models/networks.py:688-707 norm_layer default BatchNorm2d;
 train.py never calls eval() on the Ds). Running stats are not updated
 inside the jitted loss (the reference's running-stat updates never affect
-train-time forwards or gradients).
+train-time forwards or gradients). Consequence for checkpoints: a saved D
+carries its INIT running stats (mean 0 / var 1), so any future eval-mode
+(train=False) D forward — exported Ds, eval metrics — would normalize
+with init stats and diverge from a torch-trained D; refresh with one
+mutable=['batch_stats'] pass first (documented on the save path,
+train/checkpoints.py::save_checkpoint).
 
 All frame tensors arrive flattened over time — (B*T, H, W, C) — matching
 the reference's `reshape` before the D call (reference: train.py:140-145).

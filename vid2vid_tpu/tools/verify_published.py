@@ -134,12 +134,21 @@ def _oracle_classes():
     (reference: models/networks.py:203-232 returns img_feat/flow_feat/
     img_fg_feat). Imported lazily: torch + the tests package are only
     needed when a verification actually runs."""
-    sys.path.insert(0, _repo_root())
-    from tests.test_convert_fullsize import (
-        TorchCompositeFG,
-        TorchCompositeLocalFG,
-        _warp_torch,
-    )
+    root = _repo_root()
+    if root not in sys.path:
+        sys.path.insert(0, root)
+    try:
+        from tests.test_convert_fullsize import (
+            TorchCompositeFG,
+            TorchCompositeLocalFG,
+            _warp_torch,
+        )
+    except ImportError as e:
+        raise RuntimeError(
+            "verify_published needs the repo's tests/ package (the torch "
+            "oracle modules live there) — run from a source checkout of "
+            "vid2vid_tpu, not an installed copy"
+        ) from e
 
     class _G0(TorchCompositeFG):
         def forward(self, labels, prev, mask):  # + feats for the enhancer

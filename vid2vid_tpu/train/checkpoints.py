@@ -27,6 +27,24 @@ def _ckpt_dir(opt, tag: str) -> str:
 
 
 def save_checkpoint(opt, state: TrainState, schedule: Schedule, tag: str = "latest"):
+    """Save the full train state (params + all three optimizer states +
+    schedule counters — improves on the reference, which drops optimizer
+    state, models/base_model.py:43-48).
+
+    Compatibility notes for restored checkpoints:
+      - Discriminator param SHAPES for configs with ndf < 64 changed in
+        round 4 (the per-scale width ordering now matches the reference's
+        min(64, ndf*2^(num_D-1-j)), models/networks.py:643-645).
+        Checkpoints saved before that fix restore via `fuzzy_merge` with
+        the mismatched D scales re-initialized — expect a brief D warmup.
+      - D BatchNorm running stats are saved at their INIT values (mean 0 /
+        var 1): training forwards use per-batch stats and never update the
+        running buffers (see models/loss_engine.py module docstring), so
+        an eval-mode (train=False) D forward on a restored checkpoint
+        normalizes with init stats. Training math is unaffected; anyone
+        exporting a D for eval-mode metrics must refresh stats first
+        (one pass with mutable=['batch_stats']).
+    """
     path = _ckpt_dir(opt, tag)
     ckpt = ocp.PyTreeCheckpointer()
     payload = {
