@@ -33,18 +33,23 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _cost_analysis_flops(jitted, *args, **kwargs):
-    """Total FLOPs of one call of a jitted fn, or None if unavailable."""
+def _cost_analysis(jitted, *args, **kwargs):
+    """(flops, bytes_accessed) of one call of a jitted fn, or (None, None)."""
     try:
         compiled = jitted.lower(*args, **kwargs).compile()
         ca = compiled.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0] if ca else {}
         flops = float(ca.get("flops", 0.0))
-        return flops if flops > 0 else None
+        nbytes = float(ca.get("bytes accessed", 0.0))
+        return (flops if flops > 0 else None), (nbytes if nbytes > 0 else None)
     except Exception as e:  # noqa: BLE001 — cost analysis is best-effort
         print(f"cost_analysis unavailable: {e!r}", file=sys.stderr)
-        return None
+        return None, None
+
+
+def _cost_analysis_flops(jitted, *args, **kwargs):
+    return _cost_analysis(jitted, *args, **kwargs)[0]
 
 
 def bench_inference():
@@ -110,12 +115,12 @@ def bench_inference():
     # regardless of trip count (measured: T=1/2/4 clips all report the same
     # total), so lower a 1-frame clip — body flops == per-frame flops there.
     if streaming:
-        flops_per_frame = _cost_analysis_flops(
+        flops_per_frame, bytes_per_frame = _cost_analysis(
             eng._clip_raw_fn, params, labels[:, :tG], inst[:, :tG], state,
             False, True,
         )
     else:
-        flops_per_frame = _cost_analysis_flops(
+        flops_per_frame, bytes_per_frame = _cost_analysis(
             eng._clip_fn, params, enc[:, :tG], state, False
         )
     extras = {}
@@ -127,6 +132,16 @@ def bench_inference():
         extras["peak_tflops"] = peak / 1e12
         if b > 1:
             extras["batch"] = b
+        if bytes_per_frame:
+            # roofline bound of the compiled graph: max(compute, HBM traffic)
+            # time per frame (PERF.md "Roofline"); speed-of-light fraction =
+            # measured throughput / bound throughput — the grounded
+            # vs_baseline now that no external V100 anchor exists (BASELINE.md
+            # "External V100 anchor")
+            hbm = float(os.environ.get("BENCH_HBM_GBPS", 819.0)) * 1e9
+            bound_s = max(flops_per_frame / peak, bytes_per_frame / hbm) / b
+            extras["bytes_per_frame_GB"] = round(bytes_per_frame / b / 1e9, 2)
+            extras["speed_of_light_frac"] = round(fps * bound_s, 3)
 
     # single-frame streaming latency: the serving path the export artifact
     # ships (InferenceEngine.step — one raw tG-window in, one frame out)
@@ -368,12 +383,17 @@ def main():
         "metric": f"label2city {width}x{height} 3-scale inference",
         "value": round(fps, 3),
         "unit": "frames/sec",
-        # the reference publishes no fps; the driver's target is ">=2x a
-        # V100" with an ASSUMED 1 fps V100 @2048x1024 — this ratio is
-        # fps/2.0 under that assumption, nothing more. MFU below is the
-        # grounded number.
-        "vs_baseline": round(fps / 2.0, 3),
-        "baseline_note": "assumed V100=1fps@2048x1024 (none published); see mfu_pct for grounded util",
+        # No external V100 anchor exists anywhere in this container
+        # (BASELINE.md "External V100 anchor — search result"): vs_baseline
+        # is now the GROUNDED ratio — measured fps over the compiled
+        # graph's own roofline bound (speed-of-light fraction). The old
+        # assumed-V100 ratio is kept as a secondary key for continuity.
+        "vs_baseline": extras.get("speed_of_light_frac", round(fps / 2.0, 3)),
+        "baseline_note": (
+            "fps / roofline-bound fps of the compiled graph (no external "
+            "V100 number exists; BASELINE.md round-5 search)"
+        ),
+        "vs_assumed_v100_2fps": round(fps / 2.0, 3),
     }
     record.update(extras)
     if os.environ.get("BENCH_TRAIN", "1") == "1":

@@ -1,0 +1,116 @@
+"""Parity tests for the whole-respair Pallas kernel (ops/respair_pallas.py).
+
+The kernel must equal the unfused eval-mode residual block — two
+reflect-padded 3x3 convs with per-channel affines, ReLU after the first,
+skip at the end (reference semantics: models/networks.py:554-593 with
+eval-mode norm folded to an affine) — including the reflect values at
+image borders and corners, which the kernel reconstructs in-kernel from
+its VMEM-resident intermediate.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vid2vid_tpu.ops.respair_pallas import (
+    pad_respair,
+    pick_blocks_respair,
+    respair_pallas,
+)
+
+
+def _respair_ref(x, k0, ab0, k1, ab1):
+    """Pure-XLA reference: x + affine1(conv(pad(relu(affine0(conv(pad(x)))))))."""
+
+    def conv(v, k):
+        vp = jnp.pad(v, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+        return jax.lax.conv_general_dilated(
+            vp, k, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+    h = jnp.maximum(conv(x, k0) * ab0[0] + ab0[1], 0.0)
+    return x + conv(h, k1) * ab1[0] + ab1[1]
+
+
+def _rand_case(rng, b, h, w, c):
+    x = jnp.asarray(rng.standard_normal((b, h, w, c)).astype(np.float32))
+    k0 = jnp.asarray(0.1 * rng.standard_normal((3, 3, c, c)).astype(np.float32))
+    k1 = jnp.asarray(0.1 * rng.standard_normal((3, 3, c, c)).astype(np.float32))
+    ab0 = tuple(
+        jnp.asarray(rng.standard_normal((c,)).astype(np.float32)) for _ in range(2)
+    )
+    ab1 = tuple(
+        jnp.asarray(rng.standard_normal((c,)).astype(np.float32)) for _ in range(2)
+    )
+    return x, k0, ab0, k1, ab1
+
+
+class TestPadRespair:
+    def test_layout(self, rng):
+        x = jnp.asarray(rng.standard_normal((1, 8, 16, 4)).astype(np.float32))
+        p = pad_respair(x)
+        assert p.shape == (1, 12, 20, 4)
+        # ring 0 = garbage (zero), ring 1 = reflect, interior = x
+        np.testing.assert_array_equal(p[:, 0], 0.0)
+        np.testing.assert_array_equal(p[:, -1], 0.0)
+        np.testing.assert_array_equal(p[:, :, 0], 0.0)
+        np.testing.assert_allclose(p[:, 2:-2, 2:-2], x)
+        np.testing.assert_allclose(p[0, 1, 2:-2], x[0, 1])  # reflect row
+        np.testing.assert_allclose(p[0, -2, 2:-2], x[0, -2])  # reflect row
+        np.testing.assert_allclose(p[0, 2:-2, 1], x[0, :, 1])  # reflect col
+
+
+class TestRespairPallas:
+    @pytest.mark.parametrize(
+        "b,h,w,c,br,tw",
+        [
+            (1, 16, 64, 128, 16, 64),   # single row block, single col block
+            (1, 32, 128, 128, 16, 64),  # interior + all 4 edges + corners
+            (2, 16, 64, 256, 8, 32),    # batch > 1, wider channels
+        ],
+    )
+    def test_matches_reference(self, rng, b, h, w, c, br, tw):
+        x, k0, ab0, k1, ab1 = _rand_case(rng, b, h, w, c)
+        want = _respair_ref(x, k0, ab0, k1, ab1)
+        got = respair_pallas(
+            pad_respair(x), k0, ab0, k1, ab1,
+            block_rows=br, block_cols=tw, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-4, rtol=1e-4
+        )
+
+    def test_border_values_exact(self, rng):
+        """The halo fix must reproduce reflect_pad(h) exactly: compare the
+        OUTPUT BORDER ROWS/COLS specifically (they depend on the in-kernel
+        reflection) at a multi-block tiling."""
+        x, k0, ab0, k1, ab1 = _rand_case(rng, 1, 32, 64, 128)
+        want = _respair_ref(x, k0, ab0, k1, ab1)
+        got = respair_pallas(
+            pad_respair(x), k0, ab0, k1, ab1,
+            block_rows=8, block_cols=32, interpret=True,
+        )
+        for sl in (
+            np.s_[:, 0, :, :], np.s_[:, -1, :, :],
+            np.s_[:, :, 0, :], np.s_[:, :, -1, :],
+            np.s_[:, 0, 0, :], np.s_[:, -1, -1, :],
+        ):
+            np.testing.assert_allclose(
+                np.asarray(got)[sl], np.asarray(want)[sl],
+                atol=2e-4, rtol=1e-4, err_msg=str(sl),
+            )
+
+
+class TestPickBlocks:
+    def test_enhancer_shapes_fit(self):
+        # the two production enhancer respair sites of the 2048x1024 model
+        assert pick_blocks_respair(512, 1024, 128) is not None
+        assert pick_blocks_respair(256, 512, 256) is not None
+        # the global trunk's 1024-ch site fits only at the smallest tile
+        # (the two im2col'd kernels alone are ~38 MB of VMEM)
+        assert pick_blocks_respair(32, 64, 1024) == (32, 32)
+
+    def test_unaligned_channels_rejected(self):
+        assert pick_blocks_respair(512, 1024, 96) is None

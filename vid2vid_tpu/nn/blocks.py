@@ -11,8 +11,12 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from vid2vid_tpu.nn.layers import Conv, ConvTranspose, Norm, reflect_pad
-from vid2vid_tpu.ops.conv3_pallas import conv3_fused_padded, pick_blocks
+from vid2vid_tpu.nn.layers import Conv, ConvTranspose, Norm
+from vid2vid_tpu.ops.respair_pallas import (
+    pad_respair,
+    pick_blocks_respair,
+    respair_pallas,
+)
 
 
 class ConvStem(nn.Module):
@@ -58,11 +62,12 @@ class ResnetBlock(nn.Module):
     """Reflect-padded 3x3 residual block (conv-norm-relu-conv-norm + skip).
 
     With `fuse=True` (opt-in via --pallas_resblocks) the eval-mode forward
-    runs each step as one fused-epilogue Pallas conv (eval norm folded to a
-    per-channel affine, relu / residual applied on the VMEM-resident
-    accumulator) — identical math. Measured end-to-end this LOSES to the
-    plain XLA path in the full model despite standalone wins (PERF.md
-    "Fused-epilogue resblocks"), so the flag defaults off. Training and
+    runs the WHOLE block as one Pallas call (round 5,
+    ops/respair_pallas.py): both convs, reflect padding, eval-norm
+    affines, ReLU and the skip in a single kernel with the intermediate
+    VMEM-resident and the producer fused into the padded-input write —
+    identical math. (The round-3 two-call fused-epilogue variant lost
+    end-to-end to boundary materializations; see PERF.md.) Training and
     unfusable shapes always take the plain path. Parameter tree is the
     same either way.
     """
@@ -83,7 +88,7 @@ class ResnetBlock(nn.Module):
             and not train
             and x.shape[-1] == self.features
             and self.features % 128 == 0
-            and pick_blocks(x.shape[1], x.shape[2], self.features, self.features)
+            and pick_blocks_respair(x.shape[1], x.shape[2], self.features)
             is not None
         )
         if not fusable:
@@ -96,18 +101,11 @@ class ResnetBlock(nn.Module):
         _, (a1, c1) = norm1(x, train=False, want_affine=True)
         _, (k2, b2) = conv2(x, want_params=True)
         _, (a2, c2) = norm2(x, train=False, want_affine=True)
-        br, tw = pick_blocks(
-            x.shape[1], x.shape[2], self.features, self.features
-        )
+        br, tw = pick_blocks_respair(x.shape[1], x.shape[2], self.features)
         interpret = jax.default_backend() not in ("tpu", "axon")
-        h = conv3_fused_padded(
-            reflect_pad(x, 1), k1.astype(x.dtype), a1, c1 + b1 * a1,
-            relu=True, block_rows=br, block_cols=tw, interpret=interpret,
-        )
-        return conv3_fused_padded(
-            reflect_pad(h, 1), k2.astype(x.dtype), a2, c2 + b2 * a2,
-            residual=x, relu=False, block_rows=br, block_cols=tw,
-            interpret=interpret,
+        return respair_pallas(
+            pad_respair(x), k1, (a1, c1 + b1 * a1), k2, (a2, c2 + b2 * a2),
+            block_rows=br, block_cols=tw, interpret=interpret,
         )
 
 

@@ -35,7 +35,11 @@ import jax.numpy as jnp
 
 from vid2vid_tpu.nn.blocks import DownBlock, ResnetBlock, UpBlock
 from vid2vid_tpu.nn.layers import Norm, conv_kernel_init, reflect_pad
-from vid2vid_tpu.ops.conv3_pallas import conv3_fused_padded, pick_blocks
+from vid2vid_tpu.ops.respair_pallas import (
+    pad_respair,
+    pick_blocks_respair,
+    respair_pallas,
+)
 from vid2vid_tpu.ops.tapstack import conv7_tapstack
 from vid2vid_tpu.ops.warp import flow_warp
 
@@ -171,27 +175,21 @@ class _FusedResPair(nn.Module):
         )
 
     def _fused(self, x):
-        """Both resblock steps as fused-epilogue Pallas convs (eval mode).
-
-        The norm is a per-channel affine at eval; folding it (plus the conv
-        bias and the relu/skip) into the conv3 kernel's accumulator
-        epilogue removes the HBM round-trips that made the plain Pallas
-        conv an end-to-end loss — see ops/conv3_pallas.py and PERF.md.
+        """The whole respair (both convs + norms + relu + skip) as ONE
+        Pallas call (round 5, ops/respair_pallas.py): the intermediate
+        stays VMEM-resident, reflect pads never materialize, and XLA fuses
+        the producer (the enhancer's d + coarse_feat adds and the img/flow
+        concat) into the single pad_respair write the kernel consumes —
+        the boundary-traffic fix PERF.md's round-4 roofline ranks #1.
         """
-        br, tw = pick_blocks(
-            x.shape[1], x.shape[2], 2 * self.features, 2 * self.features
-        )
+        br, tw = pick_blocks_respair(x.shape[1], x.shape[2], 2 * self.features)
         interpret = jax.default_backend() not in ("tpu", "axon")
         k0, b0 = self._kernel_bias("0", x.dtype)
         k1, b1 = self._kernel_bias("1", x.dtype)
         a0, c0 = self._norms(x, "0", False, want_affine=True)
         a1, c1 = self._norms(x, "1", False, want_affine=True)
-        h = conv3_fused_padded(
-            reflect_pad(x, 1), k0, a0, c0 + b0 * a0, relu=True,
-            block_rows=br, block_cols=tw, interpret=interpret,
-        )
-        return conv3_fused_padded(
-            reflect_pad(h, 1), k1, a1, c1 + b1 * a1, residual=x, relu=False,
+        return respair_pallas(
+            pad_respair(x), k0, (a0, c0 + b0 * a0), k1, (a1, c1 + b1 * a1),
             block_rows=br, block_cols=tw, interpret=interpret,
         )
 
@@ -200,9 +198,7 @@ class _FusedResPair(nn.Module):
         if (
             self.fuse
             and not train
-            and pick_blocks(
-                x.shape[1], x.shape[2], 2 * self.features, 2 * self.features
-            )
+            and pick_blocks_respair(x.shape[1], x.shape[2], 2 * self.features)
             is not None
         ):
             return self._fused(x)
