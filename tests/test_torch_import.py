@@ -17,11 +17,13 @@ import jax.numpy as jnp
 
 from vid2vid_tpu.nn.composite import CompositeGenerator
 from vid2vid_tpu.nn.discriminator import NLayerDiscriminator
-from vid2vid_tpu.nn.pix2pixhd import GlobalGenerator
+from vid2vid_tpu.nn.pix2pixhd import Encoder, GlobalGenerator, GlobalWithFeatures
 from vid2vid_tpu.utils.torch_import import (
     apply_mapping,
     composite_generator_mapping,
+    encoder_mapping,
     global_generator_mapping,
+    global_with_features_mapping,
     nlayer_discriminator_mapping,
     vgg19_mapping,
 )
@@ -258,3 +260,127 @@ class TestVggImport:
         assert len(mapping) == 26  # 13 convs x (weight, bias)
         keys = {m[0] for m in mapping}
         assert "features.0.weight" in keys and "features.28.bias" in keys
+
+
+class TorchGlobalWithZ(tnn.Module):
+    """Reference Global_with_z (the edge2face single-image G,
+    models/networks.py:421-468): z concatenated to the input, to the
+    resblock stack (downsampled), to the first upsample, and to the head."""
+
+    def __init__(self, in_nc, nz, out_nc=3, ngf=8, nd=2, nb=2, norm=_in):
+        super().__init__()
+        self.nd = nd
+        down = _stem(in_nc + nz, ngf, norm)
+        for i in range(nd):
+            down += _down(ngf * 2**i, ngf * 2 ** (i + 1), norm)
+        self.model_downsample = tnn.Sequential(*down)
+        ch = ngf * 2**nd
+        self.model_resnet = tnn.Sequential(
+            *[_RB(ch + nz, norm) for _ in range(nb)]
+        )
+        ups = []
+        for i in range(nd):
+            cin = ngf * 2 ** (nd - i) + (2 * nz if i == 0 else 0)
+            ups += [
+                tnn.ConvTranspose2d(
+                    cin, ngf * 2 ** (nd - i - 1), 3, 2, 1, output_padding=1
+                ),
+                norm(ngf * 2 ** (nd - i - 1)),
+                tnn.ReLU(True),
+            ]
+        self.model_upsample = tnn.Sequential(*ups)
+        self.model_upsample_conv = tnn.Sequential(
+            tnn.ReflectionPad2d(3), tnn.Conv2d(ngf + nz, out_nc, 7), tnn.Tanh()
+        )
+        self.downsample = tnn.AvgPool2d(3, 2, 1, count_include_pad=False)
+
+    def forward(self, x, z):
+        zd = z
+        for _ in range(self.nd):
+            zd = self.downsample(zd)
+        d = self.model_downsample(torch.cat([x, z], 1))
+        r = self.model_resnet(torch.cat([d, zd], 1))
+        u = self.model_upsample(torch.cat([r, zd], 1))
+        return self.model_upsample_conv(torch.cat([u, z], 1))
+
+
+class TorchEncoder(tnn.Module):
+    """Reference Encoder netE (models/networks.py:595-632): conv U-stack
+    + instance-wise average pooling."""
+
+    def __init__(self, in_nc, out_nc, ngf=4, nd=2, norm=_in):
+        super().__init__()
+        self.output_nc = out_nc
+        layers = _stem(in_nc, ngf, norm)
+        for i in range(nd):
+            layers += _down(ngf * 2**i, ngf * 2 ** (i + 1), norm)
+        for i in range(nd):
+            layers += _up(ngf * 2 ** (nd - i), ngf * 2 ** (nd - i - 1), norm)
+        layers += [tnn.ReflectionPad2d(3), tnn.Conv2d(ngf, out_nc, 7), tnn.Tanh()]
+        self.model = tnn.Sequential(*layers)
+
+    def forward(self, x, inst):
+        out = self.model(x)
+        mean = out.clone()
+        for b in range(x.size(0)):
+            for i in np.unique(inst[b].numpy().astype(int)):
+                m = inst[b : b + 1] == int(i)
+                for j in range(self.output_nc):
+                    vals = out[b, j][m[0, 0]]
+                    mean[b, j][m[0, 0]] = vals.mean()
+        return mean
+
+
+class TestGlobalWithFeaturesImport:
+    def test_forward_parity(self, rng):
+        """edge2face single-G: converted Global_with_z forward == torch
+        (reference: vid2vid_model_G.py:279-283 builds it with instance
+        norm and feat_num 16; shrunk dims here)."""
+        torch.manual_seed(3)
+        nz = 4
+        oracle = TorchGlobalWithZ(5, nz, ngf=8, nd=2, nb=2)
+        oracle.train()
+        with torch.no_grad():
+            for _ in range(3):
+                oracle(torch.randn(2, 5, 32, 32), torch.randn(2, nz, 32, 32))
+        oracle.eval()
+        sd = {k: v.numpy() for k, v in oracle.state_dict().items()}
+        sd = {k: v for k, v in sd.items() if "num_batches" not in k}
+
+        variables = apply_mapping(sd, global_with_features_mapping(2, 2, "instance"))
+        model = GlobalWithFeatures(
+            feat_num=nz, ngf=8, n_downsampling=2, n_blocks=2, norm="instance"
+        )
+        x = rng.standard_normal((1, 5, 32, 32)).astype(np.float32)
+        z = rng.standard_normal((1, nz, 32, 32)).astype(np.float32)
+        with torch.no_grad():
+            expected = oracle(torch.from_numpy(x), torch.from_numpy(z)).numpy()
+        got = model.apply(
+            variables, jnp.asarray(to_nhwc(x)), jnp.asarray(to_nhwc(z))
+        )
+        np.testing.assert_allclose(to_nhwc(expected), np.asarray(got), atol=2e-4)
+
+
+class TestEncoderImport:
+    def test_forward_parity(self, rng):
+        """netE: converted Encoder forward (incl. instance-average) == torch."""
+        torch.manual_seed(4)
+        oracle = TorchEncoder(3, 4, ngf=4, nd=2)
+        oracle.eval()
+        sd = {k: v.numpy() for k, v in oracle.state_dict().items()}
+        sd = {k: v for k, v in sd.items() if "num_batches" not in k}
+
+        variables = apply_mapping(sd, encoder_mapping(2, "instance"))
+        model = Encoder(output_nc=4, ngf=4, n_downsampling=2, norm="instance")
+        x = rng.standard_normal((1, 3, 32, 32)).astype(np.float32)
+        inst = np.zeros((1, 1, 32, 32), np.int32)
+        inst[:, :, 8:20, 4:16] = 3
+        inst[:, :, 24:, 24:] = 7
+        with torch.no_grad():
+            expected = oracle(
+                torch.from_numpy(x), torch.from_numpy(inst)
+            ).numpy()
+        got = model.apply(
+            variables, jnp.asarray(to_nhwc(x)), jnp.asarray(inst[:, 0])
+        )
+        np.testing.assert_allclose(to_nhwc(expected), np.asarray(got), atol=2e-4)

@@ -241,8 +241,28 @@ class InferenceEngine:
 
     # ------------------------------------------------------ single-image G
 
-    def build_single_g(self):
-        """Instantiate the single-image first-frame generator for this opt."""
+    def build_single_g(self, sg_cfg: dict | None = None):
+        """Instantiate the single-image first-frame generator for this opt.
+
+        sg_cfg optionally overrides the hard-coded published dims (the
+        reference registry, vid2vid_model_G.py:261-288) with
+        {'feat_num', 'g': {ngf, nd, nb, norm}, 'e': {out_nc, ngf, nd, norm}}
+        — used by tools/verify_published's shrunk fabricated-checkpoint CI.
+        """
+        if sg_cfg is not None:
+            g = sg_cfg["g"]
+            self._single_g = GlobalWithFeatures(
+                feat_num=sg_cfg["feat_num"], ngf=g["ngf"],
+                n_downsampling=g["nd"], n_blocks=g.get("nb", 9),
+                norm=g["norm"],
+            )
+            self._single_needs_feat = True
+            e = sg_cfg["e"]
+            self._encoder = Encoder(
+                output_nc=e["out_nc"], ngf=e["ngf"], n_downsampling=e["nd"],
+                norm=e["norm"],
+            )
+            return self._single_g
         self._single_g, self._single_needs_feat = make_single_image_generator(
             self.opt
         )
@@ -287,14 +307,25 @@ class InferenceEngine:
     def face_features(
         self, encoder_params, real_image, inst, feature_clusters: dict
     ):
-        """Instance features snapped to the nearest training cluster.
+        """Instance features snapped to the nearest training image's clusters.
 
-        Reference (models/vid2vid_model_G.py:290-320): encode the real
-        image, then for each facial part replace its features with the
-        nearest cluster centroid from the precomputed features dictionary
-        {part_label: (n_clusters, feat_num+1) array}.
+        Reference (models/vid2vid_model_G.py:290-320 + dists_min,
+        base_model.py:136-144): encode the real image, take the encoding at
+        the FIRST pixel of each facial part, then pick ONE training-image
+        index by the squared distance summed JOINTLY over all parts and
+        feature dims (`dists_min` reduces dims 0 and 1 — a single argmin
+        shared by every part, not per-part), and fill each part's region
+        with that image's centroid row (index clamped per part).
+
+        Reference quirk not reproduced: `feat_ori = torch.FloatTensor(...)`
+        is UNINITIALIZED, so parts absent from `inst` contribute garbage
+        rows to the distance sum; here absent parts contribute nothing —
+        identical whenever all parts are present (the normal case for the
+        face part maps).
         """
-        feat_num = 16
+        feat_num = int(
+            np.asarray(next(iter(feature_clusters.values()))).shape[1] - 1
+        )
         enc = jax.jit(
             lambda p, x, i: self._encoder.apply(p, x, i)
         )(encoder_params, real_image, inst)
@@ -303,18 +334,27 @@ class InferenceEngine:
         out = np.zeros(
             (inst_np.shape[0],) + inst_np.shape[1:3] + (feat_num,), np.float32
         )
-        for label in np.unique(inst_np):
-            if label not in feature_clusters:
-                continue
-            clusters = np.asarray(feature_clusters[label])  # (n, feat_num+1)
-            ys, xs = np.nonzero(inst_np[0] == label)[:2] if inst_np.ndim == 3 else (None, None)
+        present = [
+            int(l) for l in np.unique(inst_np) if int(l) in feature_clusters
+        ]
+        if not present:
+            return jnp.asarray(out)
+        num_images = min(
+            np.asarray(feature_clusters[l]).shape[0] for l in present
+        )
+        dists = np.zeros((num_images,), np.float64)
+        firsts = {}
+        for label in present:
             mask = inst_np[0] == label
-            if not mask.any():
-                continue
-            # representative feature = encoding at the first pixel of the part
-            yx = np.argwhere(mask)[0]
+            yx = np.argwhere(mask)[0]  # first pixel, row-major (torch idx[0])
+            firsts[label] = mask
             feat_ori = enc_np[0, yx[0], yx[1], :feat_num]
-            dists = ((clusters[:, :feat_num] - feat_ori) ** 2).sum(-1)
-            best = int(np.argmin(dists))
-            out[0][mask] = clusters[min(best, len(clusters) - 1), :feat_num]
+            ref = np.asarray(feature_clusters[label])[:num_images, :feat_num]
+            dists += ((ref - feat_ori) ** 2).sum(-1)
+        best = int(np.argmin(dists))
+        for label in present:
+            clusters = np.asarray(feature_clusters[label])  # (n, feat_num+1)
+            out[0][firsts[label]] = clusters[
+                min(best, len(clusters) - 1), :feat_num
+            ]
         return jnp.asarray(out)

@@ -6,8 +6,8 @@ Usage:
       --out checkpoints/label2city_1024/state/G0 \
       [--n-downsampling 3 --n-blocks 9 --norm batch --fg --no-flow]
 
-  kinds: composite | composite_local | global | nlayer_d | multiscale_d |
-         flownet2 | vgg19
+  kinds: composite | composite_local | global | global_with_features |
+         encoder | nlayer_d | multiscale_d | flownet2 | vgg19
 
 Writes an orbax pytree directory loadable by the inference/test CLIs.
 """
@@ -51,6 +51,12 @@ def main(argv=None):
         mapping = ti.global_generator_mapping(
             args.n_downsampling, args.n_blocks, args.norm
         )
+    elif args.kind == "global_with_features":
+        mapping = ti.global_with_features_mapping(
+            args.n_downsampling, args.n_blocks, args.norm
+        )
+    elif args.kind == "encoder":
+        mapping = ti.encoder_mapping(args.n_downsampling, args.norm)
     elif args.kind == "nlayer_d":
         mapping = ti.nlayer_discriminator_mapping(args.n_layers_d, args.norm)
     elif args.kind == "multiscale_d":

@@ -287,6 +287,53 @@ def global_generator_mapping(
     return out
 
 
+def global_with_features_mapping(
+    n_downsampling: int = 3, n_blocks: int = 9, norm: str = "instance"
+) -> list[Triple]:
+    """Global_with_z (the edge2face single-image G, reference:
+    models/networks.py:421-468): four Sequentials — model_downsample,
+    model_resnet (width + nz), model_upsample, model_upsample_conv —
+    onto our GlobalWithFeatures module tree (nn/pix2pixhd.py:97)."""
+    out: list[Triple] = list(_stem("model_downsample", 0, ("ConvStem_0",), norm))
+    for i in range(n_downsampling):
+        idx = 4 + 3 * i
+        out += _conv(f"model_downsample.{idx}", (f"DownBlock_{i}", "Conv_0"))
+        out += _norm(
+            f"model_downsample.{idx + 1}", (f"DownBlock_{i}", "Norm_0"), norm
+        )
+    for k in range(n_blocks):
+        out += _resblock(f"model_resnet.{k}", (f"ResnetBlock_{k}",), norm)
+    for i in range(n_downsampling):
+        out += _convT(
+            f"model_upsample.{3 * i}", (f"UpBlock_{i}", "ConvTranspose_0")
+        )
+        out += _norm(
+            f"model_upsample.{3 * i + 1}", (f"UpBlock_{i}", "Norm_0"), norm
+        )
+    out += _conv("model_upsample_conv.1", ("TanhHead_0", "Conv_0"))
+    return out
+
+
+def encoder_mapping(
+    n_downsampling: int = 4, norm: str = "instance"
+) -> list[Triple]:
+    """Encoder netE (instance-feature encoder, reference:
+    models/networks.py:595-615): one `model` Sequential — stem, nd downs,
+    nd ups, tanh head — onto our Encoder module tree (nn/pix2pixhd.py:199)."""
+    out: list[Triple] = list(_stem("model", 0, ("ConvStem_0",), norm))
+    idx = 4
+    for i in range(n_downsampling):
+        out += _conv(f"model.{idx}", (f"DownBlock_{i}", "Conv_0"))
+        out += _norm(f"model.{idx + 1}", (f"DownBlock_{i}", "Norm_0"), norm)
+        idx += 3
+    for i in range(n_downsampling):
+        out += _convT(f"model.{idx}", (f"UpBlock_{i}", "ConvTranspose_0"))
+        out += _norm(f"model.{idx + 1}", (f"UpBlock_{i}", "Norm_0"), norm)
+        idx += 3
+    out += _conv(f"model.{idx + 1}", ("TanhHead_0", "Conv_0"))
+    return out
+
+
 def nlayer_discriminator_mapping(
     n_layers: int = 3, norm: str = "batch", get_interm: bool = True,
     prefix: str = "", fprefix: tuple = (),
