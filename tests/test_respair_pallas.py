@@ -114,3 +114,29 @@ class TestPickBlocks:
 
     def test_unaligned_channels_rejected(self):
         assert pick_blocks_respair(512, 1024, 96) is None
+
+    def test_f32_sizing_stays_under_budget(self):
+        # regression (round 5, caught on-chip): f32 evals run on hardware
+        # too — sizing the working set as bf16 OOM'd scoped VMEM at the
+        # 256x512x256 enhancer site. The f32 pick must be strictly
+        # smaller-or-equal and itself fit the ~80 MB budget at 4 B/elem.
+        for h, w, ci in ((512, 1024, 128), (256, 512, 256)):
+            b2 = pick_blocks_respair(h, w, ci, 2)
+            b4 = pick_blocks_respair(h, w, ci, 4)
+            assert b4 is not None
+            assert b4[0] * b4[1] <= b2[0] * b2[1]
+
+        def working_set(br, tw, ci, esz):
+            tw_in = -(-(tw + 4) // 128) * 128
+            twh = -(-(tw + 2) // 8) * 8
+            return (
+                2 * (br + 4) * tw_in * ci * esz
+                + (br + 4) * twh * 3 * ci * esz
+                + (br + 2) * twh * ci * esz
+                + 2 * (br + 2) * twh * ci * 4
+                + 2 * br * tw * ci * esz
+                + 2 * 9 * ci * ci * esz
+            )
+
+        br, tw = pick_blocks_respair(256, 512, 256, 4)
+        assert working_set(br, tw, 256, 4) <= 80 * 1024 * 1024

@@ -7,6 +7,9 @@ checkpoints map cleanly and the module tree reads top-down.
 
 from __future__ import annotations
 
+import os
+import sys
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -88,7 +91,9 @@ class ResnetBlock(nn.Module):
             and not train
             and x.shape[-1] == self.features
             and self.features % 128 == 0
-            and pick_blocks_respair(x.shape[1], x.shape[2], self.features)
+            and pick_blocks_respair(
+                x.shape[1], x.shape[2], self.features, x.dtype.itemsize
+            )
             is not None
         )
         if not fusable:
@@ -101,7 +106,12 @@ class ResnetBlock(nn.Module):
         _, (a1, c1) = norm1(x, train=False, want_affine=True)
         _, (k2, b2) = conv2(x, want_params=True)
         _, (a2, c2) = norm2(x, train=False, want_affine=True)
-        br, tw = pick_blocks_respair(x.shape[1], x.shape[2], self.features)
+        br, tw = pick_blocks_respair(
+            x.shape[1], x.shape[2], self.features, x.dtype.itemsize
+        )
+        if os.environ.get("VID2VID_FUSE_DEBUG"):
+            print(f"[fuse] ResnetBlock {x.shape} blocks=({br},{tw})",
+                  file=sys.stderr)
         interpret = jax.default_backend() not in ("tpu", "axon")
         return respair_pallas(
             pad_respair(x), k1, (a1, c1 + b1 * a1), k2, (a2, c2 + b2 * a2),

@@ -27,6 +27,8 @@ checkpoint import is a pure rearrangement (see utils/torch_import.py).
 
 from __future__ import annotations
 
+import os
+import sys
 from typing import NamedTuple
 
 import flax.linen as nn
@@ -182,7 +184,16 @@ class _FusedResPair(nn.Module):
         concat) into the single pad_respair write the kernel consumes —
         the boundary-traffic fix PERF.md's round-4 roofline ranks #1.
         """
-        br, tw = pick_blocks_respair(x.shape[1], x.shape[2], 2 * self.features)
+        br, tw = pick_blocks_respair(
+            x.shape[1], x.shape[2], 2 * self.features, x.dtype.itemsize
+        )
+        if os.environ.get("VID2VID_FUSE_DEBUG"):
+            print(f"[fuse] _FusedResPair {x.shape} blocks=({br},{tw})",
+                  file=sys.stderr)
+        if os.environ.get("VID2VID_RESPAIR_BARRIER"):
+            # A/B knob: does an optimization barrier stop the custom-call's
+            # layout constraint from poisoning upstream conv emitters?
+            x = jax.lax.optimization_barrier(x)
         interpret = jax.default_backend() not in ("tpu", "axon")
         k0, b0 = self._kernel_bias("0", x.dtype)
         k1, b1 = self._kernel_bias("1", x.dtype)
@@ -198,7 +209,9 @@ class _FusedResPair(nn.Module):
         if (
             self.fuse
             and not train
-            and pick_blocks_respair(x.shape[1], x.shape[2], 2 * self.features)
+            and pick_blocks_respair(
+                x.shape[1], x.shape[2], 2 * self.features, x.dtype.itemsize
+            )
             is not None
         ):
             return self._fused(x)

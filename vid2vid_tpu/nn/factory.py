@@ -8,6 +8,8 @@ module definitions (nn/layers.py) rather than applied post-hoc.
 
 from __future__ import annotations
 
+import os
+
 from vid2vid_tpu.config import Options
 from vid2vid_tpu.nn.composite import CompositeGenerator, CompositeLocalGenerator
 from vid2vid_tpu.nn.discriminator import MultiscaleDiscriminator
@@ -68,20 +70,28 @@ def define_g(
             n_blocks_local=opt.n_blocks_local,
             norm=opt.norm,
         )
+    # VID2VID_FUSE_SITES={both,global,local}: per-site attribution knob for
+    # the --pallas_resblocks A/B (PERF.md round-5 respair study)
+    _sites = os.environ.get("VID2VID_FUSE_SITES", "both")
     if kind == "composite":
         return CompositeGenerator(
             output_nc=opt.output_nc, ngf=ngf,
             n_downsampling=opt.n_downsample_G, n_blocks=opt.n_blocks,
             norm=opt.norm, use_fg=opt.fg, no_flow=opt.effective_no_flow,
-            fuse_res=getattr(opt, "pallas_resblocks", False),
+            fuse_res=getattr(opt, "pallas_resblocks", False)
+            and _sites in ("both", "global"),
         )
+    # VID2VID_FUSE_SCALES: comma list of enhancer scales to fuse (A/B knob)
+    _scales = os.environ.get("VID2VID_FUSE_SCALES")
     if kind == "compositeLocal":
         return CompositeLocalGenerator(
             output_nc=opt.output_nc, ngf=ngf,
             n_blocks_local=opt.n_blocks_local,
             n_downsample_g=opt.n_downsample_G, scale=scale,
             norm=opt.norm, use_fg=opt.fg, no_flow=opt.effective_no_flow,
-            fuse_res=getattr(opt, "pallas_resblocks", False),
+            fuse_res=getattr(opt, "pallas_resblocks", False)
+            and _sites in ("both", "local")
+            and (not _scales or str(scale) in _scales.split(",")),
         )
     if kind == "encoder":
         return Encoder(

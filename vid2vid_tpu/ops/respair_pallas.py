@@ -49,6 +49,7 @@ W % block_cols == 0. Eval-mode only (no VJP — the production call site
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -223,20 +224,31 @@ def respair_pallas(
             pltpu.VMEM((br + 2, twh, ci), xpp.dtype),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
+            vmem_limit_bytes=int(
+                os.environ.get("VID2VID_RESPAIR_VMEM_MB", 100)
+            ) * 1024 * 1024
         ),
         interpret=interpret,
     )(xpp, k0cat, k1cat, ab)
 
 
-def pick_blocks_respair(h: int, w: int, ci: int):
+def pick_blocks_respair(h: int, w: int, ci: int, esz: int = 2):
     """Largest (block_rows, block_cols) whose VMEM working set fits.
 
     Budget: double-buffered input window + xcat scratch + h scratch +
     two f32 accumulators + output + kernels, under ~80 MB.
+
+    esz: element size of the activation dtype (2 for bf16, 4 for f32 —
+    the f32 path runs on hardware too, e.g. bf16=False evals; sizing it
+    as bf16 OOMs scoped VMEM at compile time, caught by the round-5
+    on-chip knob verification).
     """
     if ci % 128:
         return None
+    cap = os.environ.get("VID2VID_RESPAIR_BLOCKS")  # "br,tw" A/B override
+    if cap:
+        br, tw = (int(v) for v in cap.split(","))
+        return (br, tw) if (h % br == 0 and w % tw == 0) else None
     for br in (32, 16, 8):
         if h % br:
             continue
@@ -245,7 +257,6 @@ def pick_blocks_respair(h: int, w: int, ci: int):
                 continue
             tw_in = -(-(tw + 4) // 128) * 128
             twh = -(-(tw + 2) // 8) * 8
-            esz = 2  # bf16; f32 parity runs only in interpret mode
             in_b = (br + 4) * tw_in * ci * esz
             xcat_b = (br + 4) * twh * 3 * ci * esz
             h_b = (br + 2) * twh * ci * esz
