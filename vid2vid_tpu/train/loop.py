@@ -294,16 +294,22 @@ class Trainer:
         carry.chunk_start += n_load
         self.schedule.total_steps += self.opt.batchSize
 
-        loss_dict = {k: float(v) for k, v in aux["losses"].items()}
-        loss_dict["G_grad_norm"] = float(aux["grad_norm"])
-        loss_dict.update({k: float(v) for k, v in d_losses.items()})
+        # ONE batched transfer for every loss scalar: each float(v) is a
+        # separate device->host round trip (20+ per iteration), which is
+        # pure latency on a remote/tunneled device — measured 2.7x the
+        # whole-dict cost in the round-5 train ledger (PERF.md).
+        dev = dict(aux["losses"])
+        dev["G_grad_norm"] = aux["grad_norm"]
+        dev.update(d_losses)
         for s, dtl in enumerate(dt_losses):
-            loss_dict.update({f"{k}{s}": float(v) for k, v in dtl.items()})
+            dev.update({f"{k}{s}": v for k, v in dtl.items()})
         for s, tl in enumerate(aux["t_losses"]):
-            loss_dict.update({f"{k}{s}": float(v) for k, v in tl.items()})
-        loss_dict["loss_G_total"] = float(loss_g)
-        loss_dict["loss_D_total"] = float(loss_d)
-        return state, carry, loss_dict
+            dev.update({f"{k}{s}": v for k, v in tl.items()})
+        dev["loss_G_total"] = loss_g
+        dev["loss_D_total"] = loss_d
+        return state, carry, {
+            k: float(v) for k, v in jax.device_get(dev).items()
+        }
 
     def train_clip(self, state, labels, real_b, inst=None):
         """Run all chunks of one clip; returns (state, last loss_dict)."""
