@@ -16,6 +16,7 @@ from vid2vid_tpu.train.checkpoints import (
 from vid2vid_tpu.train.loop import Trainer
 
 
+@pytest.mark.slow
 def test_round_trip(tmp_path):
     opt = Options(
         label_nc=2, ngf=8, ndf=8, n_downsample_G=2, n_blocks=2,
@@ -53,6 +54,7 @@ def test_round_trip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_load_pretrain_fuzzy_merge(tmp_path):
     """Warm-start a 2-scale model from a finished 1-scale run: G0 tensors
     load where shapes intersect, the new enhancer scale stays at init

@@ -42,6 +42,7 @@ class TestFlowLosses:
 
 
 class TestHarness:
+    @pytest.mark.slow
     def test_train_step_reduces_epe_on_constant_flow(self, rng):
         net = FlowNetS(train_outputs=True)
         harness = FlowHarness(net, lr=1e-3)
@@ -59,6 +60,7 @@ class TestHarness:
             errs.append(float(err))
         assert errs[-1] < errs[0]
 
+    @pytest.mark.slow
     def test_infer_to_flo(self, tmp_path, rng):
         net = FlowNetS(train_outputs=True)
         harness = FlowHarness(net)
@@ -80,6 +82,7 @@ class TestHarness:
         assert flow.shape == (64, 64, 2)
 
 
+@pytest.mark.slow
 class TestBestEpeCheckpointing:
     def test_fit_tracks_best_and_restores(self, tmp_path, rng):
         from vid2vid_tpu.models.flownet2.flow_io import write_flo
@@ -187,6 +190,7 @@ class TestFlowDatasetReaders:
         np.testing.assert_allclose(f[0, :, 0], 0.0)
 
 
+@pytest.mark.slow
 class TestMainCli:
     def test_reflection_cli_trains_and_saves(self, tmp_path):
         """main_cli end-to-end: reflection flags reach the dataset class,

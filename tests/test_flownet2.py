@@ -21,6 +21,7 @@ def f32(rng, *shape):
 
 
 class TestComponents:
+    @pytest.mark.slow
     def test_flownetc_pyramid(self, rng):
         m = FlowNetC(train_outputs=True)
         x = f32(rng, 1, 64, 64, 6)

@@ -38,6 +38,7 @@ class TestStackTime:
 
 class TestGenerateClip:
     @pytest.mark.parametrize("n_scales", [1, 2])
+    @pytest.mark.slow
     def test_shapes_and_state(self, rng, n_scales):
         opt = small_opt(n_scales_spatial=n_scales)
         gen = Vid2VidGenerator(opt)
@@ -135,6 +136,7 @@ class TestGenerateClip:
         enc = gen.encode_input(labels, inst)
         assert enc.shape == (1, 4, 16, 16, 7)
 
+    @pytest.mark.slow
     def test_gradients_flow_with_bptt(self, rng):
         opt = small_opt()
         gen = Vid2VidGenerator(opt)
@@ -170,6 +172,7 @@ class TestGenerateClip:
 
 
 class TestScanMatchesEagerOracle:
+    @pytest.mark.slow
     def test_scan_equals_python_loop(self, rng):
         """The lax.scan orchestration must equal an independent eager
         frame-by-frame loop implementing the reference's ordering
@@ -222,6 +225,7 @@ class TestScanMatchesEagerOracle:
         )
 
 
+@pytest.mark.slow
 class TestStreamingClip:
     """generate_clip_streaming == encode_input + generate_clip, exactly."""
 

@@ -172,6 +172,7 @@ class TestLossEngine:
             conf_ref=jnp.ones((n, h, w, 1)),
         )
 
+    @pytest.mark.slow
     def test_generator_losses_finite_and_graded(self, rng):
         opt = small_engine_opt()
         eng = LossEngine(opt)

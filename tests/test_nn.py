@@ -470,6 +470,7 @@ class TestFactoryDispatch:
         base.update(kw)
         return Options(**base)
 
+    @pytest.mark.slow
     def test_all_generator_kinds(self, rng):
         import jax
         import jax.numpy as jnp

@@ -261,6 +261,34 @@ class TestWarpVariantsAgree:
             np.asarray(g_got[1]), np.asarray(g_ref[1]), atol=2e-5
         )
 
+    def test_large_f32_dispatches_away_from_im2col(self, monkeypatch):
+        """Regression for the round-5 TPU miscompile: flow_warp's im2col
+        gather returns ~20% NaN for FLOAT32 images at H*W >= ~1024^2 on
+        v5e (f32 512x512 and all bf16 shapes are clean; bisected live —
+        ops/warp.py::_use_patch_forward). The miscompile is TPU-only so
+        CPU cannot reproduce the NaNs; what CPU CAN pin is the dispatch:
+        large-f32 must route to the patch formulation, bf16 and small-f32
+        must keep the fast im2col path.
+        """
+        from vid2vid_tpu.ops import warp as W
+
+        assert W._use_patch_forward((1, 1024, 1024, 3), jnp.float32)
+        assert W._use_patch_forward((2, 2048, 1024, 3), jnp.float32)
+        assert not W._use_patch_forward((1, 512, 512, 3), jnp.float32)
+        assert not W._use_patch_forward((1, 2048, 1024, 3), jnp.bfloat16)
+        assert not W._use_patch_forward((1, 256, 512, 3), jnp.float32)
+
+        def poison(image, flow):  # stands in for the TPU miscompile
+            return jnp.full(image.shape, jnp.nan, image.dtype)
+
+        monkeypatch.setattr(W, "flow_warp_im2col", poison)
+        big = jnp.zeros((1, 520, 520, 3), jnp.float32)  # > 512*512 px
+        out = W.flow_warp(big, jnp.zeros((1, 520, 520, 2), jnp.float32))
+        assert bool(jnp.isfinite(out).all()), "large f32 must avoid im2col"
+        small = jnp.zeros((1, 8, 8, 3), jnp.float32)
+        out = W.flow_warp(small, jnp.zeros((1, 8, 8, 2), jnp.float32))
+        assert bool(jnp.isnan(out).all()), "small f32 should still use im2col"
+
 
 class TestConv7Pallas:
     def test_interpret_matches_xla(self, rng):

@@ -25,6 +25,7 @@ class TestMesh:
         xs = shard_batch(x, mesh, width_axis=3)
         assert xs.sharding.spec == P("data", None, None, "model", None)
 
+    @pytest.mark.slow
     def test_sharded_inference_matches_single_device(self, rng):
         """Width-sharded generation must equal unsharded (GSPMD halo check)."""
         opt = Options(
@@ -56,6 +57,7 @@ class TestMesh:
         )
 
 
+@pytest.mark.slow
 class TestMeshTraining:
     """--n_devices wiring in the real Trainer/CLI path (VERDICT round-1 #2)."""
 
@@ -146,6 +148,7 @@ class TestMeshTraining:
         assert log.exists() and "G_GAN" in log.read_text()
 
 
+@pytest.mark.slow
 class TestSparseD:
     def test_sparse_d_training(self):
         from vid2vid_tpu.data.synthetic import SyntheticVideoDataset
@@ -168,6 +171,7 @@ class TestSparseD:
         assert all(np.isfinite(v) for v in losses.values())
 
 
+@pytest.mark.slow
 class TestMeshMultiChunk:
     def test_multichunk_sharded_matches_single_device_lr0(self):
         """Cross-chunk semantics under sharding: with lr=0 the params never
@@ -225,6 +229,7 @@ class TestMeshMultiChunk:
             np.testing.assert_allclose(sharded[k], ref[k], err_msg=k, **tol)
 
 
+@pytest.mark.slow
 class TestMeshInference:
     def test_inference_engine_n_devices_matches_single(self, rng):
         """--n_devices width-sharded serving: InferenceEngine clip + step

@@ -27,6 +27,7 @@ class TestDownload:
 
 
 class TestExportCLI:
+    @pytest.mark.slow
     def test_main_exports_random_params(self, tmp_path):
         from vid2vid_tpu.tools import export
 

@@ -35,6 +35,7 @@ def tiny_opt(**kw):
     return Options(**defaults)
 
 
+@pytest.mark.slow
 class TestTrainer:
     def test_chunked_clip_trains_and_losses_finite(self):
         opt = tiny_opt()
@@ -211,6 +212,7 @@ class TestSchedule:
         events = s.end_of_epoch()
         assert not events["unfreeze"]
 
+    @pytest.mark.slow
     def test_end_of_epoch_updates_lr(self):
         opt = tiny_opt(niter=1, niter_decay=4)
         trainer = Trainer(opt)
@@ -220,6 +222,7 @@ class TestSchedule:
         lr = state.opt_g.hyperparams["learning_rate"]
         assert float(lr) == pytest.approx(opt.lr * 0.5)
 
+    @pytest.mark.slow
     def test_dt_lr_never_decays(self):
         """Reference quirk: update_learning_rate touches only optimizer_G
         and optimizer_D (models/models.py:151-155); the temporal
@@ -232,6 +235,7 @@ class TestSchedule:
         for s in state.opt_dt:
             assert float(s.hyperparams["learning_rate"]) == pytest.approx(opt.lr)
 
+    @pytest.mark.slow
     def test_ttur_decay_sets_absolute_lr(self):
         """Reference quirk: decay assigns opt.lr*(1-...) absolutely
         (base_model.py:154-159), erasing TTUR's lr/2 / 2*lr split."""
@@ -253,6 +257,7 @@ class TestSchedule:
         )
 
 
+@pytest.mark.slow
 class TestStatsRefresh:
     def test_refresh_updates_running_stats(self):
         import jax.numpy as jnp
@@ -311,6 +316,7 @@ class TestStatsRefresh:
         assert max(d) > 0, "walking extra windows did not move the stats"
 
 
+@pytest.mark.slow
 class TestTrainTestRoundTrip:
     def test_train_save_test_cli_round_trip(self, tmp_path):
         """Train -> checkpoint (auto norm-stat recalibration) -> test CLI.

@@ -3,6 +3,8 @@ HTML gallery (reference: util/visualizer.py)."""
 
 import os
 
+import pytest
+
 import numpy as np
 
 from vid2vid_tpu.utils.visualizer import Visualizer
@@ -18,6 +20,7 @@ class _Opt:
 
 
 class TestVisualizer:
+    @pytest.mark.slow
     def test_loss_log_and_scalars(self, tmp_path):
         v = Visualizer(_Opt(tmp_path))
         v.print_current_errors(1, 10, {"G_GAN": 1.5, "D_real": 0.0}, 0.2)

@@ -246,13 +246,36 @@ def _warp_x_cotangent(shape, dtype, flow: jax.Array, g: jax.Array) -> jax.Array:
     return out.astype(dtype)
 
 
+def _use_patch_forward(shape, dtype) -> bool:
+    """XLA TPU miscompile workaround (bisected live on v5e, round 5): the
+    im2col formulation's (1,1,4C)-slice gather lowering returns ~20% NaN
+    output for FLOAT32 images once H*W reaches ~1024*1024 — measured NaN
+    at f32 1024x1024 (b1 and b2) and f32 2048x1024, while f32 512x512 and
+    EVERY bf16 shape are clean, and flow_warp_patch matches flow_warp_ref
+    to 1.19e-7 at the exact same inputs (PERF.md warp section, round 5).
+    Finite inputs, pure gather + elementwise math — the NaNs can only come
+    from the lowering. Route non-bf16 images above the last known-good
+    f32 size through the patch-gather formulation; keep im2col where it is
+    both correct and fastest (bf16 everywhere, small f32)."""
+    _, h, w, _ = shape
+    return dtype != jnp.bfloat16 and h * w > 512 * 512
+
+
+def _forward(image: jax.Array, flow: jax.Array) -> jax.Array:
+    if _use_patch_forward(image.shape, image.dtype):
+        return flow_warp_patch(image, flow)
+    return flow_warp_im2col(image, flow)
+
+
 @jax.custom_vjp
 def flow_warp(image: jax.Array, flow: jax.Array) -> jax.Array:
     """Bilinear border warp (exact reference semantics, TPU-tuned path).
 
     Forward is the im2col neighborhood-gather formulation (fastest measured:
-    21.4 ms vs 38.2 patch vs 66 ref @2048x1024 bf16 on v5e). Backward is
-    hand-written:
+    21.4 ms vs 38.2 patch vs 66 ref @2048x1024 bf16 on v5e), EXCEPT large
+    float32 shapes, which dispatch to the patch-gather formulation — the
+    im2col gather miscompiles to NaN there (see _use_patch_forward).
+    Backward is hand-written:
       - d/d(flow): autodiff of the patch-gather formulation with the image
         held constant — gathers and elementwise only, fast. (The im2col
         formulation's backward is additionally avoided because its TPU
@@ -267,11 +290,11 @@ def flow_warp(image: jax.Array, flow: jax.Array) -> jax.Array:
         base_model.py:169-175) is backward-bound by two orders of
         magnitude.
     """
-    return flow_warp_im2col(image, flow)
+    return _forward(image, flow)
 
 
 def _flow_warp_fwd(image, flow):
-    return flow_warp_im2col(image, flow), (image, flow)
+    return _forward(image, flow), (image, flow)
 
 
 def _flow_warp_bwd(res, g):
